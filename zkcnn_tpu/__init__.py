@@ -1,0 +1,21 @@
+"""zkcnn_tpu: a TPU-native zkCNN (GKR + Hyrax) prover/verifier framework.
+
+A from-scratch JAX/XLA re-design of the capabilities of TAMUCrypto/zkCNN
+(reference mounted at /root/reference): zero-knowledge-style interactive
+proofs that a quantized CNN inference (LeNet5 / VGG11 / VGG16) was computed
+correctly, with the witness committed under a Hyrax polynomial commitment
+over BLS12-381.
+
+Layer map (tpu-first, not a port):
+  field/    batched prime-field limb arithmetic (Montgomery, uint32 lanes)
+  mle/      multilinear-extension tables: eq/beta, phi (FFT wiring), folds
+  ntt/      field NTT (batched radix-2), serves witness gen + conv pipeline
+  circuit/  dense-tensor layered arithmetic circuit IR + subset compaction
+  nn/       quantizer, model builders (lenet/vgg...), witness generation
+  gkr/      sumcheck prover engines + verifier protocol driver
+  pcs/      Hyrax polynomial commitment: G1 curve ops, MSM, open/verify
+  parallel/ jax.sharding mesh helpers, multi-chip variants of hot kernels
+  cli/      demo entry points mirroring the reference argv contract
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,281 @@
+"""Batched prime-field arithmetic in 16-bit limb planes (TPU-native).
+
+Replaces the reference's scalar mcl `Fr`/`Fp` bignums (used throughout
+src/prover.cpp, src/utils.cpp) with tensors of shape [..., n_limbs]
+(dtype uint32, base-2^16 little-endian limbs, values in Montgomery form).
+
+Design rules for TPU/XLA:
+  * No data-dependent control flow: carries resolve in O(log n) via a
+    Kogge-Stone generate/propagate prefix scan (lax.associative_scan).
+  * All ops are pure elementwise/VPU work over arbitrary leading batch
+    dims, so XLA fuses chains of them into single kernels.
+  * uint32 only.  A 16x16-bit product fits uint32 exactly; schoolbook
+    column sums stay < 2^22 for <= 2*24 partial products per column.
+
+Montgomery form: a tensor holds a*R mod p with R = 2^(16*n).  Host-side
+protocol scalars are plain Python ints; `Field.to_mont_host` /
+`Field.from_mont_host` convert at the boundary.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .params import LIMB_BITS, LIMB_MASK, n_limbs_for, to_limbs, from_limbs
+
+_MASK = jnp.uint32(LIMB_MASK)
+
+
+def _gp_combine(left, right):
+    """Associative combine for carry generate/propagate blocks."""
+    gl, pl = left
+    gr, pr = right
+    return (gr | (gl & pr), pl & pr)
+
+
+def add_base16(a, b, extra_one: bool = False):
+    """Exact add of two base-2^16 numbers (limbs < 2^16, same width).
+
+    Returns (limbs, carry_out) with carry_out in {0,1} (uint32 [...]).
+    If extra_one, adds 1 at limb 0 (used by two's-complement subtract).
+    """
+    s = a + b
+    if extra_one:
+        s = s.at[..., 0].add(jnp.uint32(1))
+    g = (s >> LIMB_BITS).astype(jnp.uint32)
+    p = ((s & _MASK) == _MASK).astype(jnp.uint32)
+    pg, _ = jax.lax.associative_scan(_gp_combine, (g, p), axis=-1)
+    carry_in = jnp.concatenate(
+        [jnp.zeros_like(pg[..., :1]), pg[..., :-1]], axis=-1)
+    out = (s + carry_in) & _MASK
+    return out, pg[..., -1]
+
+
+def resolve(cols, out_len: int):
+    """Normalize columns (each < 2^32, weight 2^(16k)) to base-2^16 limbs.
+
+    The caller guarantees the value fits in out_len limbs (overflow limbs
+    are dropped).  One lo/hi split turns the columns into two proper
+    base-2^16 numbers, then a single carry-add finishes exactly.
+    """
+    k = cols.shape[-1]
+    lo = cols & _MASK
+    hi = cols >> LIMB_BITS
+    if k < out_len:
+        pad = [(0, 0)] * (cols.ndim - 1) + [(0, out_len - k)]
+        lo = jnp.pad(lo, pad)
+        hi = jnp.pad(hi, pad)
+    else:
+        lo = lo[..., :out_len]
+        hi = hi[..., :out_len]
+    hi_shift = jnp.concatenate(
+        [jnp.zeros_like(hi[..., :1]), hi[..., : out_len - 1]], axis=-1)
+    out, _ = add_base16(lo, hi_shift)
+    return out
+
+
+def mul_wide(a, b):
+    """Schoolbook product columns: [..., na] x [..., nb] -> [..., na+nb]."""
+    na, nb = a.shape[-1], b.shape[-1]
+    prods = a[..., :, None] * b[..., None, :]
+    lo = prods & _MASK
+    hi = prods >> LIMB_BITS
+    cols = jnp.zeros(prods.shape[:-2] + (na + nb,), jnp.uint32)
+    for i in range(na):
+        cols = cols.at[..., i : i + nb].add(lo[..., i, :])
+        cols = cols.at[..., i + 1 : i + 1 + nb].add(hi[..., i, :])
+    return cols
+
+
+def mul_low(a, b, n: int):
+    """Low n columns of the schoolbook product (i.e. product mod 2^(16n))."""
+    prods = a[..., :, None] * b[..., None, :]
+    lo = prods & _MASK
+    hi = prods >> LIMB_BITS
+    cols = jnp.zeros(prods.shape[:-2] + (n,), jnp.uint32)
+    for i in range(min(n, a.shape[-1])):
+        w = min(b.shape[-1], n - i)
+        if w > 0:
+            cols = cols.at[..., i : i + w].add(lo[..., i, :w])
+        w2 = min(b.shape[-1], n - i - 1)
+        if w2 > 0:
+            cols = cols.at[..., i + 1 : i + 1 + w2].add(hi[..., i, :w2])
+    return cols
+
+
+class Field:
+    """A prime field with batched device ops and host scalar helpers."""
+
+    def __init__(self, p: int, name: str):
+        self.p = p
+        self.name = name
+        self.n = n_limbs_for(p)
+        self.R = 1 << (LIMB_BITS * self.n)
+        self.R_inv = pow(self.R, -1, p)
+        self.R2 = (self.R * self.R) % p
+        self.p_prime = (-pow(p, -1, self.R)) % self.R
+        # numpy constants (moved to device lazily by jnp broadcasting)
+        self.p_limbs = np.array(to_limbs(p, self.n), np.uint32)
+        self.negp_limbs = np.array(to_limbs(self.R - p, self.n), np.uint32)
+        self.pp_limbs = np.array(to_limbs(self.p_prime, self.n), np.uint32)
+        self.r2_limbs = np.array(to_limbs(self.R2, self.n), np.uint32)
+        self.zero = np.zeros(self.n, np.uint32)
+        self.one_mont = self.to_mont_host(1)
+
+    # ---------- host scalar <-> limb conversion ----------
+
+    def to_mont_host(self, x: int) -> np.ndarray:
+        return np.array(to_limbs((x % self.p) * self.R % self.p, self.n),
+                        np.uint32)
+
+    def from_mont_host(self, limbs) -> int:
+        return from_limbs(np.asarray(limbs)) * self.R_inv % self.p
+
+    def pack_mont_host(self, xs) -> np.ndarray:
+        """[k] python ints -> [k, n] Montgomery limbs."""
+        out = np.empty((len(xs), self.n), np.uint32)
+        for i, x in enumerate(xs):
+            out[i] = self.to_mont_host(x)
+        return out
+
+    def unpack_mont_host(self, arr) -> list:
+        arr = np.asarray(arr).reshape(-1, self.n)
+        return [self.from_mont_host(a) for a in arr]
+
+    # ---------- device ops (jit-friendly, arbitrary batch dims) ----------
+
+    def cond_sub_p(self, x):
+        negp = jnp.asarray(self.negp_limbs)
+        s, carry = add_base16(x, jnp.broadcast_to(negp, x.shape))
+        return jnp.where((carry > 0)[..., None], s, x)
+
+    def add(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        s, _ = add_base16(a, b)  # a+b < 2p < R, no overflow
+        return self.cond_sub_p(s)
+
+    def sub(self, a, b):
+        a, b = jnp.broadcast_arrays(a, b)
+        s, carry = add_base16(a, b ^ _MASK, extra_one=True)
+        s2, _ = add_base16(s, jnp.broadcast_to(jnp.asarray(self.p_limbs),
+                                               s.shape))
+        return jnp.where((carry > 0)[..., None], s, s2)
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(a), a)
+
+    def mont_redc(self, limbs, width: int):
+        """(value * R^-1) mod p for a base-2^16 value < R*p of `width` limbs."""
+        n = self.n
+        lo_n = limbs[..., :n] if width >= n else jnp.pad(
+            limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, n - width)])
+        m_cols = mul_low(lo_n, jnp.asarray(self.pp_limbs), n)
+        m = resolve(m_cols, n)
+        u_cols = mul_wide(m, jnp.asarray(self.p_limbs))  # 2n cols
+        pad = 2 * n - width
+        t_full = limbs if pad == 0 else (
+            jnp.pad(limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, pad)])
+            if pad > 0 else limbs[..., : 2 * n])
+        u = resolve(u_cols + t_full, 2 * n)
+        return self.cond_sub_p(u[..., n:])
+
+    def mul(self, a, b):
+        """Montgomery product: (a*b*R^-1) mod p, inputs/outputs Montgomery."""
+        a, b = jnp.broadcast_arrays(a, b)
+        t_cols = mul_wide(a, b)
+        t = resolve(t_cols, 2 * self.n)
+        return self.mont_redc(t, 2 * self.n)
+
+    def mul_const(self, a, c_int: int):
+        """Multiply by a host scalar (plain int, converted here)."""
+        c = jnp.asarray(self.to_mont_host(c_int))
+        return self.mul(a, jnp.broadcast_to(c, a.shape))
+
+    def sum(self, x, axis: int = -2):
+        """Exact modular sum along `axis` (x in Montgomery form, [..., n]).
+
+        Strategy: group <=2^11 values per level and accumulate raw uint32
+        columns (< 2^11 * 2^16 = 2^27, overflow-free), renormalize to
+        width+1 limbs, repeat.  The final wide value V = sum of Montgomery
+        residues satisfies V < M*p << R*p, so one Montgomery reduction gives
+        V/R mod p = plain sum; multiplying by R^2 restores Montgomery form.
+        """
+        if axis != -2:
+            x = jnp.moveaxis(x, axis, -2)
+        CH = 1 << 11
+        limbs = x
+        width = self.n
+        while limbs.shape[-2] > 1:
+            m = limbs.shape[-2]
+            k = -(-m // CH)
+            if m != k * CH:
+                padw = [(0, 0)] * (limbs.ndim - 2) + [(0, k * CH - m), (0, 0)]
+                limbs = jnp.pad(limbs, padw)
+            limbs = limbs.reshape(limbs.shape[:-2] + (k, CH, width))
+            cols = jnp.sum(limbs, axis=-2, dtype=jnp.uint32)
+            width = width + 1
+            assert width <= 2 * self.n, "sum width overflow (impossible sizes)"
+            limbs = resolve(cols, width)
+        limbs = limbs[..., 0, :]
+        red = self.mont_redc(limbs, width)
+        r2 = jnp.asarray(self.r2_limbs)
+        return self.mul(red, jnp.broadcast_to(r2, red.shape))
+
+    def dot(self, a, b, axis: int = -2):
+        return self.sum(self.mul(a, b), axis=axis)
+
+    # ---------- conversions for witness data ----------
+
+    def from_int64(self, v):
+        """Signed int64 numpy array -> Montgomery limbs (device).
+
+        Exact for |v| < 2^63.  Negative values map to p - |v|.
+        """
+        v = np.asarray(v, np.int64)
+        a = np.abs(v).astype(np.uint64)
+        plain = np.zeros(v.shape + (self.n,), np.uint32)
+        for i in range(4):  # 64 bits = 4 limbs
+            plain[..., i] = ((a >> (16 * i)) & np.uint64(LIMB_MASK)).astype(
+                np.uint32)
+        neg = v < 0
+        if neg.any():
+            # p - a, big-int subtract with borrow (host, vectorized)
+            borrow = np.zeros(v.shape, np.int64)
+            out = np.zeros_like(plain)
+            for i in range(self.n):
+                d = (np.int64(self.p_limbs[i]) - plain[..., i].astype(np.int64)
+                     - borrow)
+                borrow = (d < 0).astype(np.int64)
+                out[..., i] = (d + (borrow << 16)).astype(np.uint32)
+            plain = np.where(neg[..., None], out, plain)
+        dev = jnp.asarray(plain)
+        r2 = jnp.asarray(self.r2_limbs)
+        return self.mul(dev, jnp.broadcast_to(r2, dev.shape))
+
+    def to_int_host(self, limbs) -> np.ndarray:
+        """Montgomery limbs -> python-int objects array (host, exact)."""
+        arr = np.asarray(limbs)
+        flat = arr.reshape(-1, self.n)
+        out = np.empty(flat.shape[0], object)
+        for i in range(flat.shape[0]):
+            out[i] = self.from_mont_host(flat[i])
+        return out.reshape(arr.shape[:-1])
+
+    def to_signed_host(self, limbs) -> np.ndarray:
+        """Like to_int_host but mapped to (-p/2, p/2] (mcl getInt64 semantics,
+        reference src/neuralNetwork.cpp:900,913)."""
+        vals = self.to_int_host(limbs)
+        half = self.p >> 1
+        flat = vals.reshape(-1)
+        for i in range(flat.shape[0]):
+            if flat[i] > half:
+                flat[i] -= self.p
+        return vals
+
+
+from .params import FR_P, FP_P  # noqa: E402
+
+FR = Field(FR_P, "Fr")
+FP = Field(FP_P, "Fp")
