@@ -1,0 +1,111 @@
+"""Sumcheck MLE folding kernels.
+
+The reference represents each sumcheck operand as a vector of lazy
+linear polynomials halved once per round (mult_array/V_mult of
+linear_poly, src/prover.cpp:396-426).  The TPU-native equivalent keeps
+plain field-value tensors and, per round,
+
+  * emits the quadratic round message's coefficients from even/odd
+    pairs:  h(x) = sum_i (A0_i + x dA_i)(V0_i + x dV_i), and
+  * folds with the verifier's random point: X'_i = X_{2i} + r*(X_{2i+1}
+    - X_{2i}),
+
+both as single fused batched-field kernels (jit cached per shape; the
+power-of-two shapes repeat across layers and phases so the compile set
+is tiny).  Ragged `total_size` masking in the reference is a CPU
+optimization only -- zero padding folds to zero, so we just keep pads
+at zero (see prover.cpp:407-417: cleared pads never contribute).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import FR
+from ..field.params import FR_P
+
+
+@jax.jit
+def fold(X, r_pack):
+    """[2m, n] -> [m, n]: X'_i = X_{2i} + r*(X_{2i+1}-X_{2i})."""
+    e = X[0::2]
+    o = X[1::2]
+    return FR.add(e, FR.mul(FR.sub(o, e), jnp.broadcast_to(r_pack, e.shape)))
+
+
+@jax.jit
+def coeffs_quadratic(A, V):
+    """Round message coefficients (c0, c1, c2) of
+    h(x) = sum_i (A_{2i} + x(A_{2i+1}-A_{2i})) (V_{2i} + x(V_{2i+1}-V_{2i})).
+    Returns three [n]-limb vectors."""
+    a0, a1 = A[0::2], A[1::2]
+    v0, v1 = V[0::2], V[1::2]
+    da = FR.sub(a1, a0)
+    dv = FR.sub(v1, v0)
+    c0 = FR.sum(FR.mul(a0, v0), axis=-2)
+    c2 = FR.sum(FR.mul(da, dv), axis=-2)
+    c1 = FR.sum(FR.add(FR.mul(a0, dv), FR.mul(v0, da)), axis=-2)
+    return c0, c1, c2
+
+
+def mle_eval(X, rs):
+    """Multilinear extension of X (padded to 2^l) at point rs (host ints).
+
+    Matches prover::Vres (src/prover.cpp:434-457): fold lowest variable
+    first.  Returns a host int.
+    """
+    l = len(rs)
+    m = 1 << l
+    arr = X
+    if arr.shape[0] < m:
+        arr = jnp.pad(arr, ((0, m - arr.shape[0]), (0, 0)))
+    for r in rs:
+        arr = fold(arr, jnp.asarray(FR.to_mont_host(r)))
+    return FR.from_mont_host(np.asarray(arr[0]))
+
+
+class MleFolder:
+    """One sumcheck operand pair (mult, V) with the reference's
+    early-exhaustion semantics (prover.cpp:396-426).
+
+    A side with 2^k entries contributes pair-product quadratics for
+    rounds 0..k-1; at round k its folded scalar product moves into the
+    caller's add_term, which thereafter contributes add_term*(1-x)
+    (prover.cpp:375-378).
+    """
+
+    def __init__(self, A, V, bits: int):
+        assert A.shape == V.shape
+        m = 1 << bits if bits >= 0 else 0
+        if bits >= 0 and A.shape[0] < m:
+            pad = ((0, m - A.shape[0]), (0, 0))
+            A = jnp.pad(A, pad)
+            V = jnp.pad(V, pad)
+        self.A, self.V = A, V
+        self.bits = bits
+        self.rounds_done = 0
+        self.exhausted_product = None  # host int once collapsed
+        self.claim_V = None            # host int once collapsed
+
+    @property
+    def active(self):
+        return self.bits >= 0 and self.rounds_done < self.bits
+
+    def round_coeffs(self):
+        """Quadratic contribution for the current round (host ints)."""
+        c0, c1, c2 = coeffs_quadratic(self.A, self.V)
+        packed = np.asarray(jnp.stack([c0, c1, c2]))
+        return tuple(FR.from_mont_host(x) for x in packed)
+
+    def apply_fold(self, r: int):
+        rp = jnp.asarray(FR.to_mont_host(r))
+        self.A = fold(self.A, rp)
+        self.V = fold(self.V, rp)
+        self.rounds_done += 1
+        if self.A.shape[0] == 1:
+            a = FR.from_mont_host(np.asarray(self.A[0]))
+            v = FR.from_mont_host(np.asarray(self.V[0]))
+            self.exhausted_product = a * v % FR_P
+            self.claim_V = v
