@@ -1,0 +1,152 @@
+"""Builder/witness correctness vs a plain-integer re-implementation of
+the quantized inference, plus the reference's own internal consistency
+oracle: every layer's zero region (val[zero_start_id:size]) must be 0
+(reference printLayerValues, src/neuralNetwork.cpp:979-992)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from zkcnn_tpu.field import FR
+from zkcnn_tpu.field.ops import SIGNED_FR
+from zkcnn_tpu.nn import TensorSource, random_source
+from zkcnn_tpu.nn.models import ccnn, singleConv, lenet
+from zkcnn_tpu.nn.params import PoolType, ConvType
+
+
+def signed_vals(dev, count):
+    neg, hi, lo = (np.asarray(a) for a in SIGNED_FR.to_hilo(dev[:count]))
+    v = (hi.astype(np.int64) << 32) | lo.astype(np.int64)
+    return np.where(neg, -v, v)
+
+
+def check_zero_regions(C, vals):
+    for i, layer in enumerate(C.layers):
+        if layer.zero_start_id < layer.size:
+            seg = np.asarray(vals[i][layer.zero_start_id:layer.size])
+            assert not seg.any(), f"layer {i} zero region violated"
+
+
+def scale_bit(mx, mn, q=9):
+    b = int(math.log(((1 << (q - 1)) - 1) / (mx - mn)) / math.log(2))
+    if int((mx - mn) * 2.0 ** b) > (1 << (q - 1)) - 1:
+        b -= 1
+    return b
+
+
+def ref_conv(img, w, bias, pad, stride=1):
+    """img [ci,nx,ny], w [co,ci,m,m] int64 -> [co,ox,oy]."""
+    ci, nx, ny = img.shape
+    co, _, m, _ = w.shape
+    ox = (nx + 2 * pad - m) // stride + 1
+    oy = (ny + 2 * pad - m) // stride + 1
+    out = np.zeros((co, ox, oy), np.int64)
+    pimg = np.pad(img, ((0, 0), (pad, pad), (pad, pad)))
+    for o in range(co):
+        for x in range(ox):
+            for y in range(oy):
+                out[o, x, y] = (pimg[:, x * stride:x * stride + m,
+                                     y * stride:y * stride + m]
+                                * w[o]).sum() + (bias[o] if bias is not None
+                                                 else 0)
+    return out
+
+
+def test_ccnn_max_witness():
+    src = random_source(3)
+    nn = ccnn(8, 8, 1, 1, PoolType.MAX)
+    C, vals = nn.create(src, only_compute=True)
+    check_zero_regions(C, vals)
+
+    # independent recompute: conv then relu-fused max pool
+    src2 = random_source(3)
+    img_d = src2.take(64)
+    xb = scale_bit(img_d.max(), img_d.min())
+    img = np.trunc(img_d * 2.0 ** xb).astype(np.int64).reshape(1, 8, 8)
+    w_d = src2.take(2 * 1 * 4)
+    wb = scale_bit(w_d.max(), w_d.min())
+    w = np.trunc(w_d * 2.0 ** wb).astype(np.int64).reshape(2, 1, 2, 2)
+    b_d = src2.take(2)
+    b = np.trunc(b_d * 2.0 ** (wb + xb)).astype(np.int64)
+    conv = ref_conv(img, w, b, 0)
+    got = signed_vals(vals[1], conv.size)
+    assert (got == conv.ravel()).all()
+
+    # max pool output = top Q-1 bits of clamped max (layer SIZE-1 block 0)
+    clamped = np.maximum(conv, 0)
+    nwx = (7 - 2) // 2 + 1
+    m = np.zeros((2, nwx, nwx), np.int64)
+    for x in range(nwx):
+        for y in range(nwx):
+            m[:, x, y] = clamped[:, 2 * x:2 * x + 2,
+                                 2 * y:2 * y + 2].max(axis=(1, 2))
+    q_max = nn.Q_MAX
+    pooled = m >> (q_max - 1 - (nn.Q - 1))  # top Q-1 of Q_MAX-1 magnitude bits
+    tot_new = m.size
+    got_pool = signed_vals(vals[nn.SIZE - 1], tot_new)
+    assert (got_pool == pooled.ravel()).all()
+
+
+def test_ccnn_avg_witness():
+    src = random_source(5)
+    nn = ccnn(8, 8, 1, 1, PoolType.AVG)
+    C, vals = nn.create(src, only_compute=True)
+    check_zero_regions(C, vals)
+    # avg pool: (sum - rem) / 4 on the RELU output
+    relu_layer = 2  # input, conv, relu, avg
+    relu = signed_vals(vals[relu_layer],
+                       C.layers[relu_layer].zero_start_id)
+    co, ox, oy = 2, 7, 7
+    r = relu.reshape(co, ox, oy)
+    s = (r[:, 0:6:2, 0:6:2] + r[:, 0:6:2, 1:6:2] + r[:, 1:6:2, 0:6:2]
+         + r[:, 1:6:2, 1:6:2])
+    want = s // 4
+    got = signed_vals(vals[3], want.size)
+    assert (got == want.ravel()).all()
+
+
+def test_single_conv_fft_vs_naive():
+    """FFT conv pipeline and naive conv agree at valid output positions
+    (reference calcRawFFT/getFFTAns parity, src/models.cpp:288-348)."""
+    src_f = random_source(7)
+    nn_f = singleConv(8, 1, 1, 5, 3, ConvType.FFT)
+    Cf, vf = nn_f.create(src_f, only_compute=True)
+
+    src_n = random_source(7)
+    nn_n = singleConv(8, 1, 1, 5, 3, ConvType.NAIVE_FAST)
+    Cn, vn = nn_n.create(src_n, only_compute=True)
+
+    naive = signed_vals(vn[1], Cn.layers[1].size)
+
+    # map FFT (ifft layer) output back to conv layout
+    pad = 5 >> 1
+    nx = ny = 8
+    Rx = Ry = nx + pad
+    nyp = ny + 2 * pad
+    lenh = nn_f._fft_len() >> 1 if False else (1 << Cf.layers[1].fft_bit_length) >> 1
+    out = signed_vals(vf[4], Cf.layers[4].size)
+    nx_out = ny_out = nx + 2 * pad - 5 + 1
+    got = np.zeros((3, nx_out, ny_out), np.int64)
+    for co in range(3):
+        for x in range(-pad, Rx - 5 + 1):
+            for y in range(-pad, Ry - 5 + 1):
+                i = co * lenh + (Rx - x - 1) * nyp + (Ry - y - 1)
+                got[co, x + pad, y + pad] = out[i]
+    assert (got.ravel() == naive).all()
+
+
+@pytest.mark.slow
+def test_lenet_builds():
+    src = random_source(11)
+    nn = lenet(32, 32, 1, 1, PoolType.MAX)
+    C, vals = nn.create(src)
+    check_zero_regions(C, vals)
+    pred = nn.infer()
+    assert pred.shape == (1,)
+    # subset bookkeeping sane
+    for i in range(1, C.size):
+        ly = C.layers[i]
+        assert ly.max_bl_u >= 0
+        if ly.ori_id_u is not None and ly.ori_id_u.size:
+            assert ly.ori_id_u.max() < C.layers[0].size
