@@ -76,33 +76,55 @@ def resolve(cols, out_len: int):
     return out
 
 
-def mul_wide(a, b):
-    """Schoolbook product columns: [..., na] x [..., nb] -> [..., na+nb]."""
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _shift_matrix(na: int, nb: int, out_len: int):
+    """[2*na*nb, out_len] 0/1 f32 matrix routing lo/hi halves of the
+    schoolbook partial products to their weight-2^(16k) column.
+
+    Turning column accumulation into one dense f32 matmul keeps the XLA
+    graph tiny (fast compiles) and runs on the MXU on TPU.  Exactness:
+    every operand is an integer < 2^16 and each column sums at most
+    2*min(na,nb) of them, so all f32 values stay far below 2^24.
+    """
+    M = np.zeros((2 * na * nb, out_len), np.float32)
+    for i in range(na):
+        for j in range(nb):
+            if i + j < out_len:
+                M[i * nb + j, i + j] = 1.0
+            if i + j + 1 < out_len:
+                M[na * nb + i * nb + j, i + j + 1] = 1.0
+    return M
+
+
+def _mul_cols(a, b, out_len: int):
     na, nb = a.shape[-1], b.shape[-1]
     prods = a[..., :, None] * b[..., None, :]
-    lo = prods & _MASK
-    hi = prods >> LIMB_BITS
-    cols = jnp.zeros(prods.shape[:-2] + (na + nb,), jnp.uint32)
-    for i in range(na):
-        cols = cols.at[..., i : i + nb].add(lo[..., i, :])
-        cols = cols.at[..., i + 1 : i + 1 + nb].add(hi[..., i, :])
-    return cols
+    lo = (prods & _MASK).astype(jnp.float32).reshape(*prods.shape[:-2],
+                                                     na * nb)
+    hi = (prods >> LIMB_BITS).astype(jnp.float32).reshape(*prods.shape[:-2],
+                                                          na * nb)
+    flat = jnp.concatenate([lo, hi], axis=-1)
+    # precision=HIGHEST: on TPU the MXU computes f32 matmuls via bf16
+    # multi-pass decomposition; the default 3-pass drops low-order
+    # cross terms and would corrupt >16-bit integer columns.  HIGHEST
+    # (6-pass) is exact for f32, which our < 2^24 integers require.
+    cols = jnp.dot(flat, jnp.asarray(_shift_matrix(na, nb, out_len)),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return cols.astype(jnp.uint32)
+
+
+def mul_wide(a, b):
+    """Schoolbook product columns: [..., na] x [..., nb] -> [..., na+nb]."""
+    return _mul_cols(a, b, a.shape[-1] + b.shape[-1])
 
 
 def mul_low(a, b, n: int):
     """Low n columns of the schoolbook product (i.e. product mod 2^(16n))."""
-    prods = a[..., :, None] * b[..., None, :]
-    lo = prods & _MASK
-    hi = prods >> LIMB_BITS
-    cols = jnp.zeros(prods.shape[:-2] + (n,), jnp.uint32)
-    for i in range(min(n, a.shape[-1])):
-        w = min(b.shape[-1], n - i)
-        if w > 0:
-            cols = cols.at[..., i : i + w].add(lo[..., i, :w])
-        w2 = min(b.shape[-1], n - i - 1)
-        if w2 > 0:
-            cols = cols.at[..., i + 1 : i + 1 + w2].add(hi[..., i, :w2])
-    return cols
+    return _mul_cols(a, b, n)
 
 
 class Field:
@@ -193,6 +215,72 @@ class Field:
         c = jnp.asarray(self.to_mont_host(c_int))
         return self.mul(a, jnp.broadcast_to(c, a.shape))
 
+    # ---------- lazy-reduction inner products ----------
+    #
+    # The sumcheck round kernels are dominated by sums of products.
+    # Montgomery-reducing every product is wasteful: instead we keep the
+    # raw schoolbook columns (one f32 matmul per pair), accumulate them
+    # exactly in uint32 with chunked renormalization, and run TWO
+    # generalized Montgomery steps + one constant mul at the very end.
+    # This cuts both the op count (XLA compile time) and the arithmetic
+    # per element by ~3x versus reduce-then-sum.
+
+    def redc_step(self, limbs, width: int):
+        """One Montgomery division step on an exact base-2^16 integer of
+        `width` limbs: returns (V + m*p)/R as limbs of width
+        max(width, 2n) + 1 - n.  Exact for any V; low n limbs of the sum
+        are provably zero and dropped."""
+        n = self.n
+        t_lo = limbs[..., :n] if width >= n else jnp.pad(
+            limbs, [(0, 0)] * (limbs.ndim - 1) + [(0, n - width)])
+        m1 = resolve(mul_low(t_lo, jnp.asarray(self.pp_limbs), n), n)
+        u_cols = mul_wide(m1, jnp.asarray(self.p_limbs))       # 2n cols
+        W2 = max(width, 2 * n) + 1
+        padw = [(0, 0)] * (limbs.ndim - 1)
+        u_cols = jnp.pad(u_cols, padw + [(0, W2 - 2 * n)])
+        t_cols = jnp.pad(limbs, padw + [(0, W2 - width)])
+        u = resolve(u_cols + t_cols, W2)
+        return u[..., n:]
+
+    def reduce_wide(self, limbs, width: int):
+        """Exact integer V (< 2^(16*width), width <= 2n+4) -> Montgomery
+        form of V * R^-2 * R = canonical residue trajectory used by
+        dot_mont; see caller."""
+        x = self.redc_step(limbs, width)            # V/R-ish
+        w2 = max(width, 2 * self.n) + 1 - self.n
+        x = self.redc_step(x, w2)                   # V/R^2-ish, < 2p
+        x = self.cond_sub_p(x[..., : self.n])
+        r2 = jnp.asarray(self.r2_limbs)
+        return self.mul(x, jnp.broadcast_to(r2, x.shape))
+
+    def dot_mont(self, a, b, axis: int = -2):
+        """Exact modular sum_i a_i*b_i for Montgomery inputs; returns
+        Montgomery limbs with the summed axis removed."""
+        if axis != -2:
+            a = jnp.moveaxis(a, axis, -2)
+            b = jnp.moveaxis(b, axis, -2)
+        a, b = jnp.broadcast_arrays(a, b)
+        cols = mul_wide(a, b)                       # [..., m, 2n] < 2^21
+        width = 2 * self.n
+        CH = 1 << 10
+        first = True
+        while cols.shape[-2] > 1:
+            m = cols.shape[-2]
+            k = -(-m // CH)
+            if m != k * CH:
+                padw = [(0, 0)] * (cols.ndim - 2) + [(0, k * CH - m), (0, 0)]
+                cols = jnp.pad(cols, padw)
+            cols = cols.reshape(cols.shape[:-2] + (k, CH, width))
+            cols = jnp.sum(cols, axis=-2, dtype=jnp.uint32)
+            width += 1
+            cols = resolve(cols, width)
+            first = False
+        limbs = cols[..., 0, :]
+        if first:  # m == 1: columns never normalized
+            limbs = resolve(limbs, width + 1)
+            width += 1
+        return self.reduce_wide(limbs, width)
+
     def sum(self, x, axis: int = -2):
         """Exact modular sum along `axis` (x in Montgomery form, [..., n]).
 
@@ -224,7 +312,7 @@ class Field:
         return self.mul(red, jnp.broadcast_to(r2, red.shape))
 
     def dot(self, a, b, axis: int = -2):
-        return self.sum(self.mul(a, b), axis=axis)
+        return self.dot_mont(a, b, axis=axis)
 
     # ---------- conversions for witness data ----------
 

@@ -39,14 +39,15 @@ def fold(X, r_pack):
 def coeffs_quadratic(A, V):
     """Round message coefficients (c0, c1, c2) of
     h(x) = sum_i (A_{2i} + x(A_{2i+1}-A_{2i})) (V_{2i} + x(V_{2i+1}-V_{2i})).
-    Returns three [n]-limb vectors."""
+    Returns three [n]-limb vectors.  Uses lazy-reduction dot products
+    (one wide-column matmul per term, one Montgomery finish per sum)."""
     a0, a1 = A[0::2], A[1::2]
     v0, v1 = V[0::2], V[1::2]
     da = FR.sub(a1, a0)
     dv = FR.sub(v1, v0)
-    c0 = FR.sum(FR.mul(a0, v0), axis=-2)
-    c2 = FR.sum(FR.mul(da, dv), axis=-2)
-    c1 = FR.sum(FR.add(FR.mul(a0, dv), FR.mul(v0, da)), axis=-2)
+    c0 = FR.dot_mont(a0, v0)
+    c2 = FR.dot_mont(da, dv)
+    c1 = FR.dot_mont(jnp.concatenate([a0, v0]), jnp.concatenate([dv, da]))
     return c0, c1, c2
 
 
