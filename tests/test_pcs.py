@@ -1,0 +1,88 @@
+"""G1 curve ops and Hyrax PCS vs pure-Python ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from zkcnn_tpu.field import FR
+from zkcnn_tpu.field.params import FR_P
+from zkcnn_tpu.pcs import curve
+from zkcnn_tpu.pcs.msm import FixedBaseMSM, points_equal
+from zkcnn_tpu.pcs.hyrax import HyraxPCS
+from zkcnn_tpu.gkr.tape import Tape
+from zkcnn_tpu.mle import beta_table, mle_eval
+
+G_AFF = (curve.G1_X, curve.G1_Y)
+
+
+def _plain(s):
+    return jnp.asarray(np.array([[(s >> (16 * i)) & 0xFFFF
+                                  for i in range(FR.n)]], np.uint32))
+
+
+def test_add_double_vs_python():
+    ks = [1, 2, 3, 5, 7, 1234567891234567]
+    pts = []
+    base = curve.base_point()
+    for k in ks:
+        dev = curve.scalar_mul(base[None], _plain(k))[0]
+        pts.append(curve.to_affine_host(dev[None])[0])
+        assert pts[-1] == curve.py_mul(G_AFF, k), k
+
+    # batched add: k*G + j*G == (k+j)*G
+    a = curve.scalar_mul(jnp.broadcast_to(base, (3, 3, curve.FP.n)),
+                         jnp.concatenate([_plain(k) for k in (1, 2, 3)]))
+    b = curve.scalar_mul(jnp.broadcast_to(base, (3, 3, curve.FP.n)),
+                         jnp.concatenate([_plain(k) for k in (5, 7, 9)]))
+    s = curve.padd(a, b)
+    got = curve.to_affine_host(s)
+    assert got == [curve.py_mul(G_AFF, k) for k in (6, 9, 12)]
+
+
+def test_add_edge_cases():
+    base = curve.base_point()
+    inf = curve.infinity()
+    # P + inf, inf + P, inf + inf
+    assert curve.to_affine_host(curve.padd(base, inf)[None])[0] == G_AFF
+    assert curve.to_affine_host(curve.padd(inf, base)[None])[0] == G_AFF
+    assert curve.to_affine_host(curve.padd(inf, inf)[None])[0] is None
+    # P + P (same-point add -> double)
+    assert curve.to_affine_host(curve.padd(base, base)[None])[0] == \
+        curve.py_mul(G_AFF, 2)
+    # P + (-P) -> inf
+    assert curve.to_affine_host(curve.padd(base, curve.pneg(base))[None])[0] \
+        is None
+
+
+def test_fixed_base_msm():
+    rng = np.random.default_rng(3)
+    N = 5
+    gen_scalars = [int(rng.integers(1, 1 << 60)) for _ in range(N)]
+    base = jnp.broadcast_to(curve.base_point(), (N, 3, curve.FP.n))
+    plain = jnp.concatenate([_plain(k) for k in gen_scalars])
+    points = curve.scalar_mul(base, plain)
+
+    msm = FixedBaseMSM(points)
+    coeffs = [int.from_bytes(rng.bytes(31), "little") for _ in range(N)]
+    sc = jnp.asarray(FR.pack_mont_host(coeffs))
+    got = curve.to_affine_host(msm.compute(sc[None]))[0]
+    want_k = sum(c * g for c, g in zip(coeffs, gen_scalars)) % FR_P
+    assert got == curve.py_mul(G_AFF, want_k)
+
+
+def test_hyrax_commit_open():
+    rng = np.random.default_rng(5)
+    logn = 6
+    vals = [int.from_bytes(rng.bytes(31), "little") % FR_P
+            for _ in range(1 << logn)]
+    v0 = jnp.asarray(FR.pack_mont_host(vals))
+    pcs = HyraxPCS()
+    tape = Tape(b"pcs-test")
+    pcs.setup(logn, tape)
+    com = pcs.commit(v0)
+    r = [int.from_bytes(rng.bytes(31), "little") % FR_P
+         for _ in range(logn)]
+    ev = mle_eval(v0, r)
+    assert pcs.open_and_verify(com, v0, r, ev, tape)
+    # wrong eval must fail
+    assert not pcs.open_and_verify(com, v0, r, (ev + 1) % FR_P, tape)

@@ -1,0 +1,179 @@
+"""Sumcheck phase engines: functional re-expression of the reference's
+lazy linear_poly halving arrays (reference src/prover.cpp:360-426 and
+the DOT_PROD cubic variant at src/prover.cpp:103-144).
+
+A phase holds up to two (mult, V) operand sides as device value tensors
+padded to their power-of-two hypercube.  Per round it
+
+  * emits the round message's coefficients via lazy-reduction pair
+    dots (one fused kernel per side), and
+  * folds with the verifier's random point.
+
+Exhaustion semantics mirror the reference exactly: a side with 2^k
+entries contributes pair-product quadratics for rounds 1..k; at round
+k+1 its folded scalar product moves into `add_term`, which from then on
+contributes add_term*(1-x) and decays by (1-r) per round
+(prover.cpp:375-378,400-404).
+"""
+
+from typing import Optional, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import FR
+from ..field.params import FR_P
+from ..mle import fold, coeffs_quadratic
+
+
+def _host(x) -> int:
+    return FR.from_mont_host(np.asarray(x))
+
+
+def _pack(r: int):
+    return jnp.asarray(FR.to_mont_host(r))
+
+
+class Side:
+    """One (mult, V) operand pair over a 2^nb hypercube."""
+
+    def __init__(self, A, V, nb: int):
+        m = 1 << nb
+        assert A.shape[0] == V.shape[0]
+        if A.shape[0] < m:
+            pad = ((0, m - A.shape[0]), (0, 0))
+            A, V = jnp.pad(A, pad), jnp.pad(V, pad)
+        self.A, self.V = A[:m], V[:m]
+        self.nb = nb
+        self.folds = 0
+        self.collapsed = False
+
+    @property
+    def active(self):
+        return self.folds < self.nb
+
+    def final_V(self) -> int:
+        return _host(self.V[0])
+
+    def final_A(self) -> int:
+        return _host(self.A[0])
+
+
+class PhaseEngine:
+    """Drives one sumcheck phase (phase 1, phase 2, or the Liu input
+    consolidation when include_add_term=False)."""
+
+    def __init__(self, sides: List[Optional[Side]], add_term: int = 0,
+                 include_add_term: bool = True):
+        self.sides = sides
+        self.add_term = add_term % FR_P
+        self.include_add_term = include_add_term
+
+    def round_poly(self):
+        """Quadratic (c0, c1, c2) for the current round (host ints)."""
+        c0 = c1 = c2 = 0
+        for s in self.sides:
+            if s is None:
+                continue
+            if s.nb == s.folds and not s.collapsed:
+                # side exhausted: its scalar product joins add_term
+                # (reference prover.cpp:400-404)
+                self.add_term = (self.add_term
+                                 + s.final_A() * s.final_V()) % FR_P
+                s.collapsed = True
+            if s.active:
+                q0, q1, q2 = coeffs_quadratic(s.A, s.V)
+                packed = np.asarray(jnp.stack([q0, q1, q2]))
+                c0 = (c0 + FR.from_mont_host(packed[0])) % FR_P
+                c1 = (c1 + FR.from_mont_host(packed[1])) % FR_P
+                c2 = (c2 + FR.from_mont_host(packed[2])) % FR_P
+        if self.include_add_term:
+            # + add_term * (1 - x)   (reference prover.cpp:378)
+            c0 = (c0 + self.add_term) % FR_P
+            c1 = (c1 - self.add_term) % FR_P
+        return c0, c1, c2
+
+    def receive(self, r: int):
+        """Fold with the verifier's random point; decay add_term."""
+        if self.include_add_term:
+            self.add_term = self.add_term * (1 - r) % FR_P
+        rp = _pack(r)
+        for s in self.sides:
+            if s is not None and s.active:
+                s.A = fold(s.A, rp)
+                s.V = fold(s.V, rp)
+                s.folds += 1
+
+    def final_claim(self, b: int, bit_length: int) -> int:
+        """Finalize semantics (reference prover.cpp:459-485): folded
+        value if the side ran, its constant if it collapsed, else 0."""
+        s = self.sides[b]
+        if s is None or bit_length < 0:
+            return 0
+        return s.final_V()
+
+
+@jax.jit
+def _cubic_terms(m, V1, V0):
+    """Pair-linear triple product coefficients for the DOT_PROD phase.
+
+    m: [M, n] (M = current fft-table size > 1), V1/V0: [K, n].
+    h(x) = sum_i (m0+x dm)[i mod M/2] (a+x da)_i (b+x db)_i.
+    """
+    m0, dm = m[0::2], FR.sub(m[1::2], m[0::2])
+    a, da = V1[0::2], FR.sub(V1[1::2], V1[0::2])
+    b, db = V0[0::2], FR.sub(V0[1::2], V0[0::2])
+    reps = a.shape[0] // m0.shape[0]
+    m0t = jnp.tile(m0, (reps, 1))
+    dmt = jnp.tile(dm, (reps, 1))
+    e0 = FR.mul(a, b)
+    e1 = FR.add(FR.mul(da, b), FR.mul(a, db))
+    e2 = FR.mul(da, db)
+    c0 = FR.dot_mont(m0t, e0)
+    c1 = FR.add(FR.dot_mont(dmt, e0), FR.dot_mont(m0t, e1))
+    c2 = FR.add(FR.dot_mont(dmt, e1), FR.dot_mont(m0t, e2))
+    c3 = FR.dot_mont(dmt, e2)
+    return c0, c1, c2, c3
+
+
+class DotProdPhase1:
+    """Cubic phase-1 engine for DOT_PROD layers (reference
+    sumcheckDotProdInitPhase1/Update1/Finalize1, prover.cpp:57-153).
+
+    The fft-variable factor `m` (a beta table over the fft bits) folds
+    alongside the two V operands for the first fft_bl rounds, then
+    persists as a scalar multiplier.
+    """
+
+    def __init__(self, m, V0, V1, fft_bl: int, nb1: int):
+        self.m = m
+        self.V0, self.V1 = V0, V1
+        self.fft_bl = fft_bl
+        self.nb1 = nb1
+        self.folds = 0
+
+    def round_poly(self):
+        if self.m.shape[0] > 1:
+            c = _cubic_terms(self.m, self.V1, self.V0)
+            packed = np.asarray(jnp.stack(c))
+            return tuple(FR.from_mont_host(packed[i]) for i in range(4))
+        m0 = _host(self.m[0])
+        q0, q1, q2 = coeffs_quadratic(self.V1, self.V0)
+        packed = np.asarray(jnp.stack([q0, q1, q2]))
+        return tuple(m0 * FR.from_mont_host(packed[i]) % FR_P
+                     for i in range(3)) + (0,)
+
+    def receive(self, r: int):
+        rp = _pack(r)
+        if self.m.shape[0] > 1:
+            self.m = fold(self.m, rp)
+        self.V0 = fold(self.V0, rp)
+        self.V1 = fold(self.V1, rp)
+        self.folds += 1
+
+    def finalize(self):
+        """-> (claim_1, V_u1) (reference prover.cpp:146-153)."""
+        claim_1 = _host(self.V1[0])
+        v_u1 = claim_1 * _host(self.m[0]) % FR_P
+        return claim_1, v_u1

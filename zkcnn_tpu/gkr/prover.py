@@ -1,0 +1,402 @@
+"""GKR prover: per-layer sumcheck state machine over device tensors.
+
+Mirrors the reference prover (src/prover.cpp) math exactly, with the
+scalar per-gate loops replaced by gathers + exact modular segment-sums
+and the per-round halving by fused fold kernels (see engine.py).
+
+Stateful dataflow preserved from the reference (SURVEY.md section 3B):
+  * `self.beta_g` persists across layers: the IFFT layer's phase-1 init
+    writes the count-variable beta table that the following DOT_PROD
+    layer's phase-1/2 read (prover.cpp:90,190-197,288), and the FFT
+    layer's table is likewise read by PADDING (prover.cpp:214-219);
+  * `V_u0`/`V_u1` flow from phase-1 finalize into phase-2 init
+    (prover.cpp:298-304);
+  * subset claims accumulate per layer for the Liu input-consolidation
+    phase (prover.cpp:312-358).
+"""
+
+import time
+from functools import wraps
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import FR
+from ..field.params import FR_P
+from ..field.ops import segment_sum_field
+from ..circuit import Circuit, Layer, LayerType
+from ..circuit.eval import two_mul_table
+from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
+    BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
+from ..mle import beta_table, beta_table_2pt, phi_table, mle_eval
+from .engine import Side, PhaseEngine, DotProdPhase1, _host, _pack
+
+F_BYTE_SIZE = 32
+
+
+def _dev(x):
+    return jnp.asarray(np.ascontiguousarray(x))
+
+
+def _timed(fn):
+    """Accumulate wall time into prove_time (reference prove_timer,
+    src/prover.cpp:33-35 etc.)."""
+    @wraps(fn)
+    def wrap(self, *a, **k):
+        t0 = time.perf_counter()
+        r = fn(self, *a, **k)
+        self.prove_time += time.perf_counter() - t0
+        return r
+    return wrap
+
+
+class Prover:
+    def __init__(self, C: Circuit, vals: List):
+        self.C = C
+        self.val = vals
+        self.proof_size = 0
+        self.prove_time = 0.0
+        self.r_u: List[Optional[List[int]]] = [None] * (C.size + 1)
+        self.r_v: List[Optional[List[int]]] = [None] * (C.size + 1)
+        self.beta_g = None            # persistent cross-layer table
+        self.V_u0 = 0
+        self.V_u1 = 0
+        self.tm = two_mul_table()
+        self.sumcheck_id = C.size
+
+    # ------------------------------------------------------------------
+
+    @_timed
+    def v_res(self, r_0: List[int]) -> int:
+        """Fold the output layer's MLE at the verifier's point
+        (reference Vres, prover.cpp:434-457)."""
+        self.proof_size += F_BYTE_SIZE
+        return mle_eval(self.val[self.C.size - 1], r_0)
+
+    def sumcheck_init_all(self, r_0: List[int]):
+        self.sumcheck_id = self.C.size
+        self.r_u[self.C.size] = list(r_0)
+
+    def sumcheck_init(self, alpha: int, beta: int):
+        self.alpha, self.beta = alpha % FR_P, beta % FR_P
+        self.r_0 = self.r_u[self.sumcheck_id]
+        self.r_1 = self.r_v[self.sumcheck_id]
+        self.sumcheck_id -= 1
+
+    # ------------------------------------------------------------------
+    # phase 1 inits
+
+    def _gate_dev(self, layer: Layer):
+        """Cache device copies of the gate tensors, split by source."""
+        if not hasattr(layer, "_dev_cache"):
+            uni, bi = layer.uni, layer.bin
+            cache = {
+                "uni0": _dev(uni[uni[:, UNI_LU] == 0]),
+                "uni1": _dev(uni[uni[:, UNI_LU] != 0]),
+            }
+            u_in = bi[:, BIN_L] == 0
+            v_in = (bi[:, BIN_L] & 1) == 0
+            for ub in (0, 1):
+                for vb in (0, 1):
+                    m = (u_in if ub == 0 else ~u_in) & \
+                        (v_in if vb == 0 else ~v_in)
+                    cache[f"bin{ub}{vb}"] = _dev(bi[m])
+            cache["ori_u"] = _dev(layer.ori_id_u) if layer.ori_id_u is not None \
+                else None
+            cache["ori_v"] = _dev(layer.ori_id_v) if layer.ori_id_v is not None \
+                else None
+            layer._dev_cache = cache
+        return layer._dev_cache
+
+    def _v_source(self, cache, vb: int, gates, lid: int):
+        """Gather the v-operand values for bin gates (getCirValue,
+        prover.cpp:499-501)."""
+        if vb == 0:
+            return self.val[0][cache["ori_v"][gates[:, BIN_V]]]
+        return self.val[lid - 1][gates[:, BIN_V]]
+
+    @_timed
+    def sumcheck_init_phase1(self, relu_rou: int):
+        lid = self.sumcheck_id
+        cur = self.C.layers[lid]
+        cache = self._gate_dev(cur)
+
+        if cur.ty in (LayerType.FFT, LayerType.IFFT):
+            fft_bl = cur.fft_bit_length
+            fblh = fft_bl - 1
+            if cur.ty == LayerType.FFT:
+                cnt_bl = cur.bit_length - fft_bl
+                cnt_len = cur.size >> fft_bl
+                bg = beta_table_2pt(
+                    self.r_0[fft_bl:fft_bl + cnt_bl],
+                    self.r_1[:cnt_bl] if self.r_1 else None,
+                    self.alpha, self.beta)
+            else:
+                cnt_bl = cur.bit_length - fblh
+                cnt_len = cur.size >> fblh
+                bg = beta_table(self.r_0[fblh:fblh + cnt_bl], self.alpha)
+            self.beta_g = bg
+            mbu = cur.max_bl_u
+            prev = self.val[lid - 1][: cnt_len << mbu].reshape(
+                cnt_len, 1 << mbu, FR.n)
+            V1 = FR.dot_mont(prev, bg[:cnt_len, None, :], axis=0)
+            mult1 = phi_table(self.r_0, cur.scale, fft_bl,
+                              cur.ty == LayerType.IFFT)
+            self.phase = PhaseEngine([None, Side(mult1, V1, mbu)])
+            return
+
+        # beta_g over the output hypercube
+        if cur.ty == LayerType.PADDING:
+            fblh = cur.fft_bit_length - 1
+            eqf = beta_table(self.r_0[:fblh], 1)
+            cnt = self.beta_g                     # stale table from FFT
+            n_cnt = 1 << (cur.bit_length - fblh)
+            bg = FR.mul(cnt[:n_cnt, None, :], eqf[None, :, :]).reshape(
+                1 << cur.bit_length, FR.n)
+        else:
+            a = self.alpha * cur.scale % FR_P
+            b = self.beta * cur.scale % FR_P
+            bg = beta_table_2pt(self.r_0[:cur.bit_length],
+                                self.r_1[:cur.bit_length] if self.r_1
+                                else None, a, b)
+        if cur.zero_start_id < cur.size:
+            rr = _pack(relu_rou)
+            mask = (np.arange(1 << cur.bit_length)
+                    >= cur.zero_start_id)
+            scaled = FR.mul(bg, jnp.broadcast_to(rr, bg.shape))
+            bg = jnp.where(jnp.asarray(mask)[:, None], scaled, bg)
+        self.beta_g = bg
+
+        sides: List[Optional[Side]] = [None, None]
+        for b in (0, 1):
+            bl = cur.bit_length_u[b]
+            if bl < 0:
+                sides[b] = None
+                continue
+            total = 1 << bl
+            parts, segs = [], []
+            uni = cache["uni0"] if b == 0 else cache["uni1"]
+            if uni.shape[0]:
+                c = FR.mul(bg[uni[:, UNI_G]], self.tm[uni[:, UNI_SC]])
+                parts.append(c)
+                segs.append(uni[:, UNI_U])
+            for vb in (0, 1):
+                gates = cache[f"bin{b}{vb}"]
+                if gates.shape[0]:
+                    vals = self._v_source(cache, vb, gates, lid)
+                    c = FR.mul(FR.mul(vals, bg[gates[:, BIN_G]]),
+                               self.tm[gates[:, BIN_SC]])
+                    parts.append(c)
+                    segs.append(gates[:, BIN_U])
+            if parts:
+                mult = segment_sum_field(
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
+                    jnp.concatenate(segs) if len(segs) > 1 else segs[0],
+                    total)
+            else:
+                mult = jnp.zeros((total, FR.n), jnp.uint32)
+            if b == 0:
+                V = self.val[0][cache["ori_u"]]
+                if V.shape[0] < total:
+                    V = jnp.pad(V, ((0, total - V.shape[0]), (0, 0)))
+            else:
+                V = self.val[lid - 1][:total]
+            sides[b] = Side(mult, V, bl)
+        self.phase = PhaseEngine(sides)
+
+    @_timed
+    def sumcheck_dotprod_init_phase1(self):
+        lid = self.sumcheck_id
+        cur = self.C.layers[lid]
+        cache = self._gate_dev(cur)
+        fft_bl = cur.fft_bit_length
+        L = 1 << fft_bl
+        nb1 = cur.bit_length_u[1]
+        beta_gs = beta_table(self.r_0[:fft_bl], 1)
+        prev = self.val[lid - 1]
+
+        gates = cache["bin11"]            # all DOT_PROD gates have l=1
+        # V0[u<<fft_bl|t] += beta_g[g] * prev[v<<fft_bl|t]
+        rows = prev[: (1 << nb1)].reshape(-1, L, FR.n)
+        coef = self.beta_g[gates[:, BIN_G]]
+        contrib = FR.mul(coef[:, None, :], rows[gates[:, BIN_V]])
+        V0 = segment_sum_field(contrib.reshape(-1, FR.n),
+                               jnp.repeat(gates[:, BIN_U], L) * L
+                               + jnp.tile(jnp.arange(L),
+                                          gates.shape[0]),
+                               1 << nb1)
+        V1 = prev[: 1 << nb1]
+        self.phase = DotProdPhase1(beta_gs, V0, V1, fft_bl, nb1)
+
+    # ------------------------------------------------------------------
+    # round updates
+
+    @_timed
+    def round_quadratic(self, prev_r: int):
+        if prev_r is not None:
+            self.phase.receive(prev_r)
+        poly = self.phase.round_poly()
+        self.proof_size += F_BYTE_SIZE * 3
+        return poly
+
+    @_timed
+    def round_cubic(self, prev_r: int):
+        if prev_r is not None:
+            self.phase.receive(prev_r)
+        poly = self.phase.round_poly()
+        self.proof_size += F_BYTE_SIZE * (3 + (poly[3] != 0))
+        return poly
+
+    # ------------------------------------------------------------------
+    # finalizes
+
+    @_timed
+    def finalize1(self, r_all: List[int]):
+        lid = self.sumcheck_id
+        cur = self.C.layers[lid]
+        self.r_u[lid] = list(r_all)
+        self.phase.receive(r_all[-1])    # final fold at the last point
+        claim_0 = self.phase.final_claim(0, cur.bit_length_u[0])
+        claim_1 = self.phase.final_claim(1, cur.bit_length_u[1])
+        self.V_u0, self.V_u1 = claim_0, claim_1
+        self.proof_size += F_BYTE_SIZE * 2
+        return claim_0, claim_1
+
+    @_timed
+    def dotprod_finalize1(self, r_all: List[int]):
+        lid = self.sumcheck_id
+        self.r_u[lid] = list(r_all)
+        self.phase.receive(r_all[-1])
+        claim_1, v_u1 = self.phase.finalize()
+        self.V_u1 = v_u1
+        self.proof_size += F_BYTE_SIZE
+        return claim_1
+
+    @_timed
+    def finalize2(self, r_all: List[int]):
+        lid = self.sumcheck_id
+        cur = self.C.layers[lid]
+        self.r_v[lid] = list(r_all)
+        self.phase.receive(r_all[-1])
+        claim_0 = self.phase.final_claim(0, cur.bit_length_v[0])
+        claim_1 = self.phase.final_claim(1, cur.bit_length_v[1])
+        self.proof_size += F_BYTE_SIZE * 2
+        return claim_0, claim_1
+
+    # ------------------------------------------------------------------
+    # phase 2 inits
+
+    @_timed
+    def sumcheck_init_phase2(self):
+        lid = self.sumcheck_id
+        cur = self.C.layers[lid]
+        cache = self._gate_dev(cur)
+        r_u = self.r_u[lid]
+
+        if cur.ty == LayerType.DOT_PROD:
+            fft_bl = cur.fft_bit_length
+            L = 1 << fft_bl
+            cnt_bl = cur.max_bl_v
+            beta_u = beta_table(r_u[fft_bl:fft_bl + cnt_bl], 1)
+            beta_gs = beta_table(r_u[:fft_bl], 1)
+            nb1 = cur.bit_length_v[1]
+            prev = self.val[lid - 1][: 1 << cur.bit_length_u[1]].reshape(
+                -1, L, FR.n)
+            V1 = FR.dot_mont(prev, beta_gs[None, :, :], axis=1)
+            gates = cache["bin11"]
+            vu1 = _pack(self.V_u1)
+            c = FR.mul(FR.mul(self.beta_g[gates[:, BIN_G]],
+                              beta_u[gates[:, BIN_U]]),
+                       jnp.broadcast_to(vu1, (gates.shape[0], FR.n)))
+            mult1 = segment_sum_field(c, gates[:, BIN_V], 1 << nb1)
+            self.phase = PhaseEngine([None, Side(mult1, V1[: 1 << nb1],
+                                                 nb1)])
+            return
+
+        beta_u = beta_table(r_u[:cur.max_bl_u], 1)
+        add_term = 0
+        # uni gates: beta_g[g]*beta_u[u]*V_u*tm[sc] summed into add_term
+        vus = jnp.stack([_pack(self.V_u0), _pack(self.V_u1)])
+        for b, key in ((0, "uni0"), (1, "uni1")):
+            uni = cache[key]
+            if uni.shape[0]:
+                c = FR.mul(FR.mul(self.beta_g[uni[:, UNI_G]],
+                                  beta_u[uni[:, UNI_U]]),
+                           self.tm[uni[:, UNI_SC]])
+                c = FR.mul(c, jnp.broadcast_to(vus[b], c.shape))
+                add_term = (add_term + _host(FR.sum(c, axis=-2))) % FR_P
+
+        sides: List[Optional[Side]] = [None, None]
+        for vb in (0, 1):
+            bl = cur.bit_length_v[vb]
+            if bl < 0:
+                continue
+            total = 1 << bl
+            parts, segs = [], []
+            for ub in (0, 1):
+                gates = cache[f"bin{ub}{vb}"]
+                if gates.shape[0]:
+                    c = FR.mul(FR.mul(self.beta_g[gates[:, BIN_G]],
+                                      beta_u[gates[:, BIN_U]]),
+                               self.tm[gates[:, BIN_SC]])
+                    c = FR.mul(c, jnp.broadcast_to(vus[ub], c.shape))
+                    parts.append(c)
+                    segs.append(gates[:, BIN_V])
+            if parts:
+                mult = segment_sum_field(
+                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
+                    jnp.concatenate(segs) if len(segs) > 1 else segs[0],
+                    total)
+            else:
+                mult = jnp.zeros((total, FR.n), jnp.uint32)
+            if vb == 0:
+                V = self.val[0][cache["ori_v"]]
+                if V.shape[0] < total:
+                    V = jnp.pad(V, ((0, total - V.shape[0]), (0, 0)))
+            else:
+                V = self.val[lid - 1][:total]
+            sides[vb] = Side(mult, V, bl)
+        self.phase = PhaseEngine(sides, add_term=add_term)
+
+    # ------------------------------------------------------------------
+    # Liu input-consolidation phase (reference prover.cpp:312-358)
+
+    @_timed
+    def sumcheck_liu_init(self, sig_u: List[int], sig_v: List[int]):
+        self.sumcheck_id = 0
+        c0 = self.C.layers[0]
+        total = 1 << c0.bit_length
+        parts, segs = [], []
+        for i in range(1, self.C.size):
+            ly = self.C.layers[i]
+            bl = ly.bit_length_u[0]
+            if bl >= 0:
+                t = beta_table(self.r_u[i][:bl], sig_u[i - 1])
+                parts.append(t[: ly.size_u[0]])
+                segs.append(self._gate_dev(ly)["ori_u"])
+            bl = ly.bit_length_v[0]
+            if bl >= 0:
+                t = beta_table(self.r_v[i][:bl], sig_v[i - 1])
+                parts.append(t[: ly.size_v[0]])
+                segs.append(self._gate_dev(ly)["ori_v"])
+        mult = segment_sum_field(jnp.concatenate(parts),
+                                 jnp.concatenate(segs), total)
+        V = self.val[0][:total]
+        self.phase = PhaseEngine([None, Side(mult, V, c0.bit_length)],
+                                 include_add_term=False)
+
+    @_timed
+    def liu_round(self, prev_r):
+        if prev_r is not None:
+            self.phase.receive(prev_r)
+        poly = self.phase.round_poly()
+        self.proof_size += F_BYTE_SIZE * 3
+        return poly
+
+    @_timed
+    def liu_finalize(self, r_all: List[int]) -> int:
+        self.r_u[0] = list(r_all)
+        self.phase.receive(r_all[-1])
+        self.proof_size += F_BYTE_SIZE
+        return self.phase.final_claim(1, self.C.layers[0].bit_length)
