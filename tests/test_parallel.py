@@ -1,0 +1,73 @@
+"""Sharded kernels must agree exactly with the replicated ones
+(1-chip == N-chip transcripts; SURVEY.md section 7 step 7)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zkcnn_tpu.field import FR, FR_P
+from zkcnn_tpu.mle import fold, coeffs_quadratic
+from zkcnn_tpu.ntt import ntt
+from zkcnn_tpu.parallel import (make_mesh, sharded_fold_coeffs,
+                                sharded_ntt, sharded_dot,
+                                sharded_segment_sum)
+
+RNG = np.random.default_rng(13)
+
+
+def rvec(k):
+    return [int.from_bytes(RNG.bytes(31), "little") % FR_P
+            for _ in range(k)]
+
+
+def test_sharded_fold_coeffs_matches_replicated():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    N = 1 << 8
+    A = jnp.asarray(FR.pack_mont_host(rvec(N)))
+    V = jnp.asarray(FR.pack_mont_host(rvec(N)))
+    r = rvec(1)[0]
+    rp = jnp.asarray(FR.to_mont_host(r))
+
+    c0, c1, c2, A2, V2 = sharded_fold_coeffs(mesh)(A, V, rp)
+    q0, q1, q2 = coeffs_quadratic(A, V)
+    for got, want in ((c0, q0), (c1, q1), (c2, q2)):
+        assert FR.from_mont_host(np.asarray(got)) == \
+            FR.from_mont_host(np.asarray(want))
+    fA = fold(A, rp)
+    assert FR.unpack_mont_host(np.asarray(A2)) == FR.unpack_mont_host(fA)
+
+
+def test_sharded_dot_and_ntt():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    N = 1 << 8
+    xs, ys = rvec(N), rvec(N)
+    A = jnp.asarray(FR.pack_mont_host(xs))
+    B = jnp.asarray(FR.pack_mont_host(ys))
+    d = FR.from_mont_host(np.asarray(sharded_dot(mesh)(A, B)))
+    assert d == sum(x * y for x, y in zip(xs, ys)) % FR_P
+
+    mesh2 = make_mesh(n_dev, "data")
+    logm = 4
+    batch = n_dev * 2
+    x = jnp.asarray(np.stack(
+        [FR.pack_mont_host(rvec(1 << logm)) for _ in range(batch)]))
+    got = sharded_ntt(mesh2, logm, "data")(x)
+    want = ntt(x, logm)
+    assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_sharded_segment_sum():
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    G, S = 1 << 7, 16
+    vals = rvec(G)
+    segs = RNG.integers(0, S, G)
+    V = jnp.asarray(FR.pack_mont_host(vals))
+    out = sharded_segment_sum(mesh, S)(V, jnp.asarray(segs))
+    got = FR.unpack_mont_host(np.asarray(out))
+    want = [0] * S
+    for v, s in zip(vals, segs):
+        want[s] = (want[s] + v) % FR_P
+    assert got == want

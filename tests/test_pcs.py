@@ -86,3 +86,30 @@ def test_hyrax_commit_open():
     assert pcs.open_and_verify(com, v0, r, ev, tape)
     # wrong eval must fail
     assert not pcs.open_and_verify(com, v0, r, (ev + 1) % FR_P, tape)
+
+
+def test_hyrax_ipa_open():
+    rng = np.random.default_rng(9)
+    logn = 6
+    vals = [int.from_bytes(rng.bytes(31), "little") % FR_P
+            for _ in range(1 << logn)]
+    v0 = jnp.asarray(FR.pack_mont_host(vals))
+    pcs = HyraxPCS(mode="ipa")
+    tape = Tape(b"ipa-test")
+    pcs.setup(logn, tape)
+    com = pcs.commit(v0)
+    r = [int.from_bytes(rng.bytes(31), "little") % FR_P
+         for _ in range(logn)]
+    ev = mle_eval(v0, r)
+    assert pcs.open_and_verify(com, v0, r, ev, tape)
+    # commitment (rows * 48B) + logarithmic opening:
+    # 2*log2(cols) points + 1 scalar
+    n_rows, log_cols = 1 << (logn // 2), logn - logn // 2
+    assert pcs.ps == n_rows * 48 + 2 * log_cols * 48 + 32
+
+    # soundness: wrong eval fails
+    pcs2 = HyraxPCS(mode="ipa")
+    tape2 = Tape(b"ipa-test")
+    pcs2.setup(logn, tape2)
+    com2 = pcs2.commit(v0)
+    assert not pcs2.open_and_verify(com2, v0, r, (ev + 1) % FR_P, tape2)

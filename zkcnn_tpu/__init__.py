@@ -19,3 +19,17 @@ Layer map (tpu-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the limb-arithmetic composites are
+# compile-heavy and shapes repeat across runs; cache survives processes.
+import os as _os
+import jax as _jax
+
+_cache_dir = _os.environ.get("ZKCNN_TPU_XLA_CACHE",
+                             "/tmp/zkcnn_tpu_xla_cache")
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

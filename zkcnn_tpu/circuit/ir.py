@@ -109,6 +109,14 @@ def _first_appearance_remap(ids: np.ndarray):
     the subset slot of ids[i]."""
     if ids.size == 0:
         return np.zeros(0, np.int64), ids
+    try:
+        from ..nn import native
+        if ids.size > (1 << 16):
+            res = native.subset_compact(ids, int(ids.max()) + 1)
+            if res is not None:
+                return res
+    except Exception:
+        pass
     uniq_sorted, first_idx = np.unique(ids, return_index=True)
     appearance_rank = np.argsort(np.argsort(first_idx))
     remapped = appearance_rank[np.searchsorted(uniq_sorted, ids)]

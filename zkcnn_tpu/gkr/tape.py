@@ -28,3 +28,10 @@ class Tape:
 
     def fields(self, k: int):
         return [self.field() for _ in range(k)]
+
+    def clone(self) -> "Tape":
+        """Snapshot for replaying a sub-protocol's challenge sequence
+        (prover and verifier must consume identical draws)."""
+        t = Tape(self.seed)
+        t.counter = self.counter
+        return t

@@ -376,17 +376,26 @@ class NeuralNetwork:
         st = 1 << self.log_stride
         xs = L + st * np.arange(self.nx_out)
         ys = L + st * np.arange(self.ny_out)
-        P, CO, CI, X, Y, DX, DY = np.meshgrid(
-            np.arange(pic), np.arange(co_n), np.arange(ci_n), xs, ys,
-            np.arange(m), np.arange(m), indexing="ij")
-        TX, TY = X + DX, Y + DY
-        mask = (TX >= 0) & (TX < self.nx_in) & (TY >= 0) & (TY < self.ny_in)
-        g = _tes(P, CO, (X - L) // st, (Y - L) // st,
-                 co_n, self.nx_out, self.ny_out)
-        u = _tes(P, CI, TX, TY, ci_n, self.nx_in, self.ny_in)
-        v = first_conv_id + _tes(CO, CI, DX, DY, ci_n, m, m)
-        layer.bin = _stack_bin(g[mask], u[mask], v[mask], 0,
-                               2 * int(lid > 1))
+        from . import native
+        blk = native.emit_nconv_gates(pic, co_n, ci_n, self.nx_in,
+                                      self.ny_in, m, self.padding,
+                                      self.log_stride, first_conv_id,
+                                      2 * int(lid > 1))
+        if blk is not None:
+            layer.bin = blk
+        else:
+            P, CO, CI, X, Y, DX, DY = np.meshgrid(
+                np.arange(pic), np.arange(co_n), np.arange(ci_n), xs, ys,
+                np.arange(m), np.arange(m), indexing="ij")
+            TX, TY = X + DX, Y + DY
+            mask = (TX >= 0) & (TX < self.nx_in) & (TY >= 0) \
+                & (TY < self.ny_in)
+            g = _tes(P, CO, (X - L) // st, (Y - L) // st,
+                     co_n, self.nx_out, self.ny_out)
+            u = _tes(P, CI, TX, TY, ci_n, self.nx_in, self.ny_in)
+            v = first_conv_id + _tes(CO, CI, DX, DY, ci_n, m, m)
+            layer.bin = _stack_bin(g[mask], u[mask], v[mask], 0,
+                                   2 * int(lid > 1))
         if first_bias_id >= 0:
             P, CO, X, Y = np.meshgrid(np.arange(pic), np.arange(co_n), xs, ys,
                                       indexing="ij")

@@ -30,12 +30,18 @@ class TensorSource:
 
 
 def csv_source(path: str) -> TensorSource:
-    """Whitespace/comma separated doubles, entire file."""
+    """Whitespace/comma separated doubles, entire file.  Uses the
+    native loader when built (native/zkcnn_native.cpp)."""
+    try:
+        from . import native
+        vals = native.csv_load(path)
+        if vals is not None:
+            return TensorSource(vals)
+    except Exception:
+        pass
     with open(path) as f:
         txt = f.read().replace(",", " ")
-    return TensorSource(np.fromstring(txt, sep=" ")
-                        if hasattr(np, "fromstring") else
-                        np.array(txt.split(), np.float64))
+    return TensorSource(np.array(txt.split(), np.float64))
 
 
 class _LazyRandomSource(TensorSource):

@@ -35,7 +35,14 @@ G_BYTE_SIZE = 48
 
 
 class HyraxPCS:
-    def __init__(self):
+    """mode="sqrt": prover sends the folded row b (sqrt-size proof,
+    cheapest verify).  mode="ipa": Bulletproofs-style log-round
+    inner-product argument (2 log2(cols) G1 points + 1 scalar), the
+    construction the reference's hyrax submodule implements."""
+
+    def __init__(self, mode: str = "sqrt"):
+        assert mode in ("sqrt", "ipa")
+        self.mode = mode
         self.pt = 0.0   # prover seconds
         self.vt = 0.0   # verifier seconds
         self.ps = 0     # proof bytes
@@ -78,16 +85,44 @@ class HyraxPCS:
             self.n_rows, self.n_cols, FR.n)
         b = FR.dot_mont(mat, eq_hi[:, None, :], axis=0)   # [n_cols, n]
         self.pt += time.time() - t0
-        self.ps += self.n_cols * F_BYTE_SIZE
 
-        # verifier side
-        t0 = time.time()
         eq_lo = beta_table(r[: self.l_col], 1)
+        if self.mode == "ipa":
+            return self._open_ipa(commitment, b, eq_lo, eq_hi,
+                                  eval_in, tape)
+
+        # sqrt open: b is the proof; verifier checks both relations
+        self.ps += self.n_cols * F_BYTE_SIZE
+        t0 = time.time()
         eval_got = FR.from_mont_host(np.asarray(FR.dot_mont(b, eq_lo)))
         if eval_got != eval_in % FR_P:
             return False
         t_fold = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
         lhs = self.gen_msm.compute(b[None])[0]
         ok = bool(np.asarray(points_equal(lhs, t_fold)))
+        self.vt += time.time() - t0
+        return ok
+
+    def _open_ipa(self, commitment, b, eq_lo, eq_hi, eval_in, tape):
+        from .ipa import ipa_prove, ipa_verify
+        # auxiliary generator from the verifier tape
+        q_scalar = tape.field()
+        plain = jnp.asarray(np.array(
+            [[(q_scalar >> (16 * i)) & 0xFFFF for i in range(FR.n)]],
+            np.uint32))
+        Q = curve.scalar_mul(curve.base_point()[None], plain)[0]
+        # verifier folds the row commitments into P = <b, gens>
+        t0 = time.time()
+        P = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
+        self.vt += time.time() - t0
+        # interactive rounds: prover and verifier consume the same
+        # challenge sequence (tape replay)
+        replay = tape.clone()
+        t0 = time.time()
+        proof = ipa_prove(b, eq_lo, self.gens, Q, eval_in, tape)
+        self.pt += time.time() - t0
+        self.ps += len(proof.Ls) * 2 * G_BYTE_SIZE + F_BYTE_SIZE
+        t0 = time.time()
+        ok = ipa_verify(proof, eq_lo, self.gens, Q, P, eval_in, replay)
         self.vt += time.time() - t0
         return ok
