@@ -28,6 +28,11 @@ from .params import LIMB_BITS, LIMB_MASK, n_limbs_for, to_limbs, from_limbs
 _MASK = jnp.uint32(LIMB_MASK)
 
 
+def ml_bfloat16():
+    import ml_dtypes
+    return ml_dtypes.bfloat16
+
+
 def _gp_combine(left, right):
     """Associative combine for carry generate/propagate blocks."""
     gl, pl = left
@@ -79,6 +84,93 @@ def resolve(cols, out_len: int):
 from functools import lru_cache
 
 
+import os
+
+# Limb-product strategy:
+#   "f32":  16-bit limb products in uint32, lo/hi split to f32, one
+#           shift-matmul at Precision.HIGHEST (6-pass bf16 on the MXU).
+#   "bf16": split operands to 8-bit planes first; every operand is
+#           bf16-exact, so a single DEFAULT-precision bf16 matmul pass
+#           is exact (f32 accumulation, all values < 2^22 < 2^24).
+#           3x fewer MXU passes and less re-read traffic.
+# Measured on v5e: f32/HIGHEST reaches ~33M field-muls/s in the fused
+# sumcheck round vs ~19M for the bf16 split (the 4x larger partial
+# product tensor is the bottleneck — the path is HBM-traffic-bound).
+# Fusing the outer product + shift-reduce in a Pallas kernel is the
+# planned fix; until then f32 is the default.
+MUL_BACKEND = os.environ.get("ZKCNN_TPU_MUL", "f32")
+
+
+@lru_cache(maxsize=32)
+def _shift_matrix8(na8: int, nb8: int, out8: int):
+    """[2*na8*nb8, out8] 0/1 matrix: row (plane, k, l) routes the
+    lo/hi 8-bit half of the plane product a8_k*b8_l to base-2^8 column
+    k+l (+1 for hi)."""
+    M = np.zeros((2 * na8 * nb8, out8), np.float32)
+    for k in range(na8):
+        for l in range(nb8):
+            if k + l < out8:
+                M[k * nb8 + l, k + l] = 1.0
+            if k + l + 1 < out8:
+                M[na8 * nb8 + k * nb8 + l, k + l + 1] = 1.0
+    return M
+
+
+def _split8(a):
+    """[..., n] 16-bit limbs -> [..., 2n] 8-bit planes (base 256)."""
+    lo = a & jnp.uint32(0xFF)
+    hi = (a >> 8) & jnp.uint32(0xFF)
+    return jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1],
+                                                a.shape[-1] * 2)
+
+
+@lru_cache(maxsize=8)
+def _shift_matrix8_flat(n8: int, out8: int):
+    """[n8*n8, out8] 0/1 matrix: row k*n8+l -> base-2^8 column k+l."""
+    M = np.zeros((n8 * n8, out8), np.float32)
+    for k in range(n8):
+        for l in range(n8):
+            if k + l < out8:
+                M[k * n8 + l, k + l] = 1.0
+    return M
+
+
+def _resolve8(cols8, out_len: int):
+    """Base-2^8 columns (each < 2^32) -> normalized base-2^16 limbs."""
+    even = cols8[..., 0::2]
+    odd = cols8[..., 1::2]
+    A = resolve(even, out_len)
+    B = resolve(odd, out_len)
+    sh = (B << 8) & _MASK
+    carry = B >> 8
+    carry = jnp.concatenate([jnp.zeros_like(carry[..., :1]),
+                             carry[..., :-1]], axis=-1)
+    C = resolve(sh + carry, out_len)
+    out, _ = add_base16(A, C)
+    return out
+
+
+def _mul_cols_bf16(a, b, out_len: int):
+    """Single-pass MXU variant: operands split to 8-bit planes, plane
+    products (< 2^16, exact in uint32) split again to 8-bit halves, so
+    every matmul operand is bf16-exact and ONE default-precision bf16
+    pass is exact (f32 accumulation; columns < 2^15)."""
+    a8 = _split8(a)
+    b8 = _split8(b)
+    na8, nb8 = a8.shape[-1], b8.shape[-1]
+    out8 = 2 * out_len
+    prods = a8[..., :, None] * b8[..., None, :]            # < 2^16
+    lo = (prods & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+    hi = (prods >> 8).astype(jnp.bfloat16)
+    flat = jnp.concatenate(
+        [lo.reshape(*a8.shape[:-1], na8 * nb8),
+         hi.reshape(*a8.shape[:-1], na8 * nb8)], axis=-1)
+    M = jnp.asarray(_shift_matrix8(na8, nb8, out8)).astype(jnp.bfloat16)
+    cols8 = jnp.dot(flat, M, preferred_element_type=jnp.float32)
+    cols8 = cols8.astype(jnp.uint32)                        # < 2^15
+    return cols8[..., 0::2] + (cols8[..., 1::2] << 8)       # base 2^16
+
+
 @lru_cache(maxsize=32)
 def _shift_matrix(na: int, nb: int, out_len: int):
     """[2*na*nb, out_len] 0/1 f32 matrix routing lo/hi halves of the
@@ -100,6 +192,8 @@ def _shift_matrix(na: int, nb: int, out_len: int):
 
 
 def _mul_cols(a, b, out_len: int):
+    if MUL_BACKEND == "bf16":
+        return _mul_cols_bf16(a, b, out_len)
     na, nb = a.shape[-1], b.shape[-1]
     prods = a[..., :, None] * b[..., None, :]
     lo = (prods & _MASK).astype(jnp.float32).reshape(*prods.shape[:-2],
@@ -212,8 +306,114 @@ class Field:
 
     def mul_const(self, a, c_int: int):
         """Multiply by a host scalar (plain int, converted here)."""
-        c = jnp.asarray(self.to_mont_host(c_int))
-        return self.mul(a, jnp.broadcast_to(c, a.shape))
+        return self.mul_scalar(a, jnp.asarray(self.to_mont_host(c_int)))
+
+    def _toeplitz8(self, r8, out8: int):
+        """[2n, out8] banded matrix T[i, m] = r8[m - i] (else 0):
+        multiplying 8-bit planes by T yields the base-2^8 product
+        columns of x * r."""
+        n8 = 2 * self.n
+        i = jnp.arange(n8)[:, None]
+        m = jnp.arange(out8)[None, :]
+        d = m - i
+        valid = (d >= 0) & (d < n8)
+        return jnp.where(valid, r8[jnp.clip(d, 0, n8 - 1)],
+                         0).astype(jnp.bfloat16)
+
+    def mul_scalar(self, x, r_pack):
+        """x * r for a SINGLE Montgomery scalar r broadcast over the
+        whole tensor — the sumcheck fold's workhorse.
+
+        Because r is shared, the limb convolution is a matmul against
+        a banded (Toeplitz) matrix built from r's 8-bit planes: the MXU
+        contracts the limb axis and no per-element partial-product
+        tensor is ever materialized.  All operands are < 2^8 (bf16
+        exact); every column stays < 2^23 (f32-exact accumulation).
+        """
+        x8 = _split8(x).astype(jnp.bfloat16)              # [..., 2n]
+        r8 = _split8(r_pack.reshape(-1))                  # [2n]
+        T1 = self._toeplitz8(r8, 4 * self.n)
+        t8 = jnp.dot(x8, T1, preferred_element_type=jnp.float32)
+        return self._redc_cols8(t8.astype(jnp.uint32))    # < 2^21
+
+    def lincomb2_scalar(self, x, y, rx_pack, ry_pack):
+        """x*rx + y*ry for two shared Montgomery scalars, with a single
+        fused Montgomery reduction — the fold kernel
+        X' = (1-r)*even + r*odd uses this (one reduction instead of
+        sub + mul + add: 3 carry resolutions instead of 7)."""
+        out8 = 4 * self.n
+        x8 = _split8(x).astype(jnp.bfloat16)
+        y8 = _split8(y).astype(jnp.bfloat16)
+        Tx = self._toeplitz8(_split8(rx_pack.reshape(-1)), out8)
+        Ty = self._toeplitz8(_split8(ry_pack.reshape(-1)), out8)
+        t8 = jnp.dot(x8, Tx, preferred_element_type=jnp.float32) \
+            + jnp.dot(y8, Ty, preferred_element_type=jnp.float32)
+        return self._redc_cols8(t8.astype(jnp.uint32))    # < 2^22
+
+    def _redc_cols8(self, t8):
+        """Montgomery-reduce base-2^8 product columns (< 2^23) of a
+        value t < 2*R*p: returns t*R^-1 mod p canonical limbs."""
+        n = self.n
+        n8 = 2 * n
+        out8 = 2 * n8
+        # m = (t mod R) * p' mod R, fed as three 8-bit digit planes of
+        # the base-2^8 columns (values < 2^23 -> 3 planes)
+        u0 = t8 & jnp.uint32(0xFF)
+        u1 = (t8 >> 8) & jnp.uint32(0xFF)
+        u2 = t8 >> 16                                      # < 2^5
+        # position-shifted concat: plane j contributes at column k + j;
+        # only columns < 2n matter (mod R)
+        def shifted(u, off):
+            z = u[..., : n8 - off]
+            if off:
+                z = jnp.concatenate(
+                    [jnp.zeros_like(u[..., :off]), z], axis=-1)
+            return z
+        planes = jnp.concatenate(
+            [shifted(u0, 0), shifted(u1, 1), shifted(u2, 2)],
+            axis=-1).astype(jnp.bfloat16)                  # [..., 3*2n]
+        pp8 = jnp.asarray(self._pp8_const())
+        m8 = jnp.dot(planes, pp8, preferred_element_type=jnp.float32)
+        m8 = m8.astype(jnp.uint32)                         # < 2^23
+        m16 = m8[..., 0::2] + (m8[..., 1::2] << 8)         # < 2^31
+        m = resolve(m16, n)                                # canonical < R
+
+        # u = t + m*p; u/R < 2p
+        mp8 = jnp.dot(_split8(m).astype(jnp.bfloat16),
+                      jnp.asarray(self._p8_const(out8)),
+                      preferred_element_type=jnp.float32).astype(jnp.uint32)
+        tot8 = mp8 + t8                                    # < 2^22
+        tot16 = tot8[..., 0::2] + (tot8[..., 1::2] << 8)   # < 2^30.1
+        u = resolve(tot16, n8 + 1)
+        # u = (t + m*p) < 1.5*R*p, so u/R < 1.5p fits n limbs (top is 0)
+        return self.cond_sub_p(u[..., n: n8])
+
+    @staticmethod
+    def _toeplitz8_np(limbs16: np.ndarray, out8: int) -> np.ndarray:
+        v8 = []
+        for l in limbs16:
+            v8 += [int(l) & 0xFF, (int(l) >> 8) & 0xFF]
+        n8 = len(v8)
+        M = np.zeros((n8, out8), np.float32)
+        for i in range(n8):
+            for mm in range(i, min(out8, i + n8)):
+                M[i, mm] = v8[mm - i]
+        return M
+
+    def _pp8_const(self):
+        if not hasattr(self, "_pp8_cache"):
+            T = self._toeplitz8_np(self.pp_limbs, 2 * self.n)
+            full = np.concatenate([T, T, T], axis=0)
+            # convert on host: caching a traced astype would leak tracers
+            self._pp8_cache = np.asarray(full, dtype=ml_bfloat16())
+        return jnp.asarray(self._pp8_cache)
+
+    def _p8_const(self, out8: int):
+        key = "_p8_cache_%d" % out8
+        if not hasattr(self, key):
+            T = self._toeplitz8_np(self.p_limbs, out8)
+            setattr(self, key, np.asarray(T, dtype=ml_bfloat16()))
+        return jnp.asarray(getattr(self, key))
 
     # ---------- lazy-reduction inner products ----------
     #
@@ -255,31 +455,73 @@ class Field:
 
     def dot_mont(self, a, b, axis: int = -2):
         """Exact modular sum_i a_i*b_i for Montgomery inputs; returns
-        Montgomery limbs with the summed axis removed."""
+        Montgomery limbs with the summed axis removed.
+
+        MXU formulation: sum_i a_i (x) b_i == A^T B — the element axis
+        is CONTRACTED on the systolic array, so no per-element partial
+        products ever touch HBM.  8-bit operand planes are bf16-exact
+        and chunks of 256 elements keep the f32 accumulators < 2^24.
+        """
         if axis != -2:
             a = jnp.moveaxis(a, axis, -2)
             b = jnp.moveaxis(b, axis, -2)
         a, b = jnp.broadcast_arrays(a, b)
-        cols = mul_wide(a, b)                       # [..., m, 2n] < 2^21
-        width = 2 * self.n
-        CH = 1 << 10
-        first = True
-        while cols.shape[-2] > 1:
-            m = cols.shape[-2]
-            k = -(-m // CH)
-            if m != k * CH:
-                padw = [(0, 0)] * (cols.ndim - 2) + [(0, k * CH - m), (0, 0)]
-                cols = jnp.pad(cols, padw)
-            cols = cols.reshape(cols.shape[:-2] + (k, CH, width))
-            cols = jnp.sum(cols, axis=-2, dtype=jnp.uint32)
+        m = a.shape[-2]
+        T = 256                              # f32-exact contraction depth
+        k = -(-m // T)
+        if m != k * T:
+            padw = [(0, 0)] * (a.ndim - 2) + [(0, k * T - m), (0, 0)]
+            a = jnp.pad(a, padw)
+            b = jnp.pad(b, padw)
+        a8 = _split8(a).reshape(*a.shape[:-2], k, T, 2 * self.n)
+        b8 = _split8(b).reshape(*b.shape[:-2], k, T, 2 * self.n)
+        O = jnp.einsum("...cti,...ctj->...cij",
+                       a8.astype(jnp.bfloat16), b8.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        O = O.astype(jnp.uint32)             # [..., k, 2n8, 2n8] < 2^24
+        # route plane products to base-2^8 columns: two f32-exact
+        # passes over the 16-bit halves of O
+        n8 = 2 * self.n
+        out8 = 2 * n8                        # 64 base-2^8 columns
+        M = jnp.asarray(_shift_matrix8_flat(n8, out8))
+        Of = O.reshape(*O.shape[:-2], n8 * n8)
+        lo = jnp.dot((Of & jnp.uint32(0xFFFF)).astype(jnp.float32), M,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.dot((Of >> 16).astype(jnp.float32), M,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        cols_lo = lo.astype(jnp.uint32)      # [..., k, 64] < 2^21
+        cols_hi = hi.astype(jnp.uint32)      # < 2^13, weight 2^16 extra
+
+        def chunk_sum(c, ch):
+            mm = c.shape[-2]
+            kk = -(-mm // ch)
+            if mm != kk * ch:
+                pw = [(0, 0)] * (c.ndim - 2) + [(0, kk * ch - mm), (0, 0)]
+                c = jnp.pad(c, pw)
+            c = c.reshape(c.shape[:-2] + (kk, ch, c.shape[-1]))
+            return jnp.sum(c, axis=-2, dtype=jnp.uint32)
+
+        # one uint32-safe chunked sum over the contraction chunks
+        # (same chunking for both so the row counts line up)
+        cols_lo = chunk_sum(cols_lo, 1 << 10)   # 2^21 * 2^10 < 2^32
+        cols_hi = chunk_sum(cols_hi, 1 << 10)   # far below overflow
+        # per remaining row: exact base-2^16 limbs, combine lo + hi<<16
+        w = 2 * self.n + 3
+        Ls = _resolve8(cols_lo, w)
+        Hs = _resolve8(cols_hi, w)
+        Hs = jnp.concatenate(
+            [jnp.zeros_like(Hs[..., :1]), Hs[..., :-1]], axis=-1)
+        rows, _ = add_base16(Ls, Hs)            # [..., k2, w] exact rows
+        # base-2^16 ladder over the remaining rows (like Field.sum)
+        width = w
+        limbs = rows
+        while limbs.shape[-2] > 1:
+            limbs = chunk_sum(limbs, 1 << 11)
             width += 1
-            cols = resolve(cols, width)
-            first = False
-        limbs = cols[..., 0, :]
-        if first:  # m == 1: columns never normalized
-            limbs = resolve(limbs, width + 1)
-            width += 1
-        return self.reduce_wide(limbs, width)
+            limbs = resolve(limbs, width)
+        return self.reduce_wide(limbs[..., 0, :], width)
 
     def sum(self, x, axis: int = -2):
         """Exact modular sum along `axis` (x in Montgomery form, [..., n]).

@@ -119,19 +119,13 @@ def segment_sum_field(vals, seg_ids, num_segments: int):
     hi8 = ((vals >> 8) & _MASK8).astype(jnp.uint32)
     slo = jax.ops.segment_sum(lo8, seg_ids, num_segments=num_segments)
     shi = jax.ops.segment_sum(hi8, seg_ids, num_segments=num_segments)
-    cols = slo + (shi << 8)          # [S, n], each < 2^16*255 + 2^24*255 ok?
-    # slo,shi < G_seg * 255 <= 2^16*255 < 2^24; cols < 2^24 + 2^32? careful:
-    # shi<<8 < 2^24*2^8 = 2^32 overflow for full segments. Split instead:
-    # keep two column sets with weights 1 and 2^8 -> resolve via base-2^16.
-    del cols
-    # exact path: value = sum slo_j*2^(16j) + shi_j*2^(16j+8)
-    # = resolve(slo) + resolve(shi)<<8. Compute both in base-2^16:
+    # slo, shi < count*255 <= 2^16*255 < 2^24.  The exact value is
+    # sum_j slo_j*2^(16j) + shi_j*2^(16j+8); combine as two base-2^16
+    # numbers so no column ever exceeds 2^32:
     w = f.n + 1
-    a = resolve(slo, w)                      # base-2^16 number
-    # shi * 2^8: shift within limbs
-    shi_lo = (shi << 8) & jnp.uint32(LIMB_MASK)   # still < 2^16*... no:
-    # shi < 2^24; (shi<<8) & 0xffff keeps low 16 bits of a 32-bit value: fine.
-    shi_hi = shi >> 8                              # < 2^16... < 2^16? shi<2^24 -> shi_hi < 2^16 OK as column
+    a = resolve(slo, w)
+    shi_lo = (shi << 8) & jnp.uint32(LIMB_MASK)
+    shi_hi = shi >> 8                              # < 2^16
     cols2 = jnp.zeros(shi.shape[:-1] + (shi.shape[-1] + 1,), jnp.uint32)
     cols2 = cols2.at[..., : shi.shape[-1]].add(shi_lo)
     cols2 = cols2.at[..., 1 : shi.shape[-1] + 1].add(shi_hi)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..field import FR
 from ..field.params import FR_P
-from ..mle import fold, coeffs_quadratic
+from ..mle import fold, coeffs_quadratic_dots, coeffs_from_dots
 
 
 def _host(x) -> int:
@@ -83,11 +83,11 @@ class PhaseEngine:
                                  + s.final_A() * s.final_V()) % FR_P
                 s.collapsed = True
             if s.active:
-                q0, q1, q2 = coeffs_quadratic(s.A, s.V)
-                packed = np.asarray(jnp.stack([q0, q1, q2]))
-                c0 = (c0 + FR.from_mont_host(packed[0])) % FR_P
-                c1 = (c1 + FR.from_mont_host(packed[1])) % FR_P
-                c2 = (c2 + FR.from_mont_host(packed[2])) % FR_P
+                q0, q1, q2 = coeffs_from_dots(coeffs_quadratic_dots(s.A,
+                                                                    s.V))
+                c0 = (c0 + q0) % FR_P
+                c1 = (c1 + q1) % FR_P
+                c2 = (c2 + q2) % FR_P
         if self.include_add_term:
             # + add_term * (1 - x)   (reference prover.cpp:378)
             c0 = (c0 + self.add_term) % FR_P
@@ -159,10 +159,8 @@ class DotProdPhase1:
             packed = np.asarray(jnp.stack(c))
             return tuple(FR.from_mont_host(packed[i]) for i in range(4))
         m0 = _host(self.m[0])
-        q0, q1, q2 = coeffs_quadratic(self.V1, self.V0)
-        packed = np.asarray(jnp.stack([q0, q1, q2]))
-        return tuple(m0 * FR.from_mont_host(packed[i]) % FR_P
-                     for i in range(3)) + (0,)
+        q = coeffs_from_dots(coeffs_quadratic_dots(self.V1, self.V0))
+        return tuple(m0 * qi % FR_P for qi in q) + (0,)
 
     def receive(self, r: int):
         rp = _pack(r)

@@ -1,3 +1,3 @@
 from .beta import beta_table, beta_table_2pt, phi_table
-from .fold import fold, coeffs_quadratic, mle_eval, MleFolder
-
+from .fold import (fold, coeffs_quadratic, coeffs_quadratic_dots,
+                   coeffs_from_dots, mle_eval, MleFolder)

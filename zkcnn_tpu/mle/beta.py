@@ -31,7 +31,7 @@ def _beta_expand(ell: int, r_pack, init_pack):
     """Doubling build: B_{k+1} = [B_k*(1-r_k), B_k*r_k] (bit k = high)."""
     B = init_pack[None, :]
     for k in range(ell):
-        top = FR.mul(B, jnp.broadcast_to(r_pack[k], B.shape))
+        top = FR.mul_scalar(B, r_pack[k])
         bot = FR.sub(B, top)
         B = jnp.concatenate([bot, top], axis=0)
     return B

@@ -29,25 +29,54 @@ from ..field.params import FR_P
 
 @jax.jit
 def fold(X, r_pack):
-    """[2m, n] -> [m, n]: X'_i = X_{2i} + r*(X_{2i+1}-X_{2i})."""
+    """[2m, n] -> [m, n]: X'_i = (1-r)*X_{2i} + r*X_{2i+1}.
+
+    Fused two-scalar linear combination: both scalar multiplies ride a
+    Toeplitz matmul on the MXU and share ONE Montgomery reduction (3
+    carry resolutions total instead of 7 for sub+mul+add)."""
     e = X[0::2]
     o = X[1::2]
-    return FR.add(e, FR.mul(FR.sub(o, e), jnp.broadcast_to(r_pack, e.shape)))
+    one = jnp.asarray(FR.one_mont)
+    s0 = FR.sub(one[None], r_pack.reshape(1, -1))[0]
+    return FR.lincomb2_scalar(e, o, s0, r_pack)
+
+
+@jax.jit
+def coeffs_quadratic_dots(A, V):
+    """The four pair inner products (D00, D01, D10, D11) with
+    D_xy = sum_i A_{2i+x} * V_{2i+y}, as Montgomery limb vectors.
+
+    No tensor subtractions: the round coefficients are small host-side
+    combinations of these (coeffs_from_dots), so the only device work
+    is four MXU contraction dots over raw slices."""
+    a0, a1 = A[0::2], A[1::2]
+    v0, v1 = V[0::2], V[1::2]
+    aa = jnp.stack([a0, a0, a1, a1])
+    vv = jnp.stack([v0, v1, v0, v1])
+    return FR.dot_mont(aa, vv)          # [4, n]
+
+
+def coeffs_from_dots(d) -> tuple:
+    """(c0, c1, c2) host ints from the stacked dots [4, n]:
+    c0 = D00, c1 = D01 + D10 - 2*D00, c2 = D11 - D01 - D10 + D00."""
+    d00, d01, d10, d11 = (FR.from_mont_host(x) for x in np.asarray(d))
+    c0 = d00
+    c1 = (d01 + d10 - 2 * d00) % FR_P
+    c2 = (d11 - d01 - d10 + d00) % FR_P
+    return c0, c1, c2
 
 
 @jax.jit
 def coeffs_quadratic(A, V):
     """Round message coefficients (c0, c1, c2) of
     h(x) = sum_i (A_{2i} + x(A_{2i+1}-A_{2i})) (V_{2i} + x(V_{2i+1}-V_{2i})).
-    Returns three [n]-limb vectors.  Uses lazy-reduction dot products
-    (one wide-column matmul per term, one Montgomery finish per sum)."""
-    a0, a1 = A[0::2], A[1::2]
-    v0, v1 = V[0::2], V[1::2]
-    da = FR.sub(a1, a0)
-    dv = FR.sub(v1, v0)
-    c0 = FR.dot_mont(a0, v0)
-    c2 = FR.dot_mont(da, dv)
-    c1 = FR.dot_mont(jnp.concatenate([a0, v0]), jnp.concatenate([dv, da]))
+    Returns three [n]-limb vectors (device path, used where the
+    coefficients stay on device, e.g. the sharded round kernel)."""
+    d = coeffs_quadratic_dots(A, V)
+    d00, d01, d10, d11 = d[0], d[1], d[2], d[3]
+    c0 = d00
+    c1 = FR.sub(FR.add(d01, d10), FR.add(d00, d00))
+    c2 = FR.add(FR.sub(FR.sub(d11, d01), d10), d00)
     return c0, c1, c2
 
 
