@@ -66,3 +66,28 @@ def test_soundness_bad_witness():
     p = Prover(C, vals)
     v = Verifier(p, C, Tape(b"bad"))
     assert not v.verify()
+
+
+def test_transcript_determinism():
+    """Same tape seed -> identical claims and proof size across runs."""
+    sizes = []
+    evals = []
+    for _ in range(2):
+        nn = singleConv(6, 1, 1, 3, 2, ConvType.NAIVE_FAST)
+        C, vals = nn.create(random_source(31))
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"det"))
+        assert v.verify()
+        sizes.append(p.proof_size)
+        evals.append(v.eval_in)
+    assert sizes[0] == sizes[1]
+    assert evals[0] == evals[1]
+
+
+@pytest.mark.slow
+def test_ccnn_batched_pics_e2e():
+    """pic_cnt=2 flips the conv to the FFT pipeline and adds the batch
+    dimension to every index space (reference README.md:36)."""
+    nn = ccnn(8, 8, 2, 1, PoolType.MAX)
+    p, v = run_model(nn, 27)
+    assert v.verify()

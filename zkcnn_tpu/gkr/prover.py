@@ -102,6 +102,12 @@ class Prover:
                     m = (u_in if ub == 0 else ~u_in) & \
                         (v_in if vb == 0 else ~v_in)
                     cache[f"bin{ub}{vb}"] = _dev(bi[m])
+                    cache[f"bin{ub}{vb}_sc0"] = bool(
+                        (bi[m][:, BIN_SC] == 0).all())
+            cache["uni0_sc0"] = bool(
+        (uni[uni[:, UNI_LU] == 0][:, UNI_SC] == 0).all())
+            cache["uni1_sc0"] = bool(
+        (uni[uni[:, UNI_LU] != 0][:, UNI_SC] == 0).all())
             cache["ori_u"] = _dev(layer.ori_id_u) if layer.ori_id_u is not None \
                 else None
             cache["ori_v"] = _dev(layer.ori_id_v) if layer.ori_id_v is not None \
@@ -178,15 +184,18 @@ class Prover:
             parts, segs = [], []
             uni = cache["uni0"] if b == 0 else cache["uni1"]
             if uni.shape[0]:
-                c = FR.mul(bg[uni[:, UNI_G]], self.tm[uni[:, UNI_SC]])
+                c = bg[uni[:, UNI_G]]
+                if not cache[f"uni{b}_sc0"]:
+                    c = FR.mul(c, self.tm[uni[:, UNI_SC]])
                 parts.append(c)
                 segs.append(uni[:, UNI_U])
             for vb in (0, 1):
                 gates = cache[f"bin{b}{vb}"]
                 if gates.shape[0]:
                     vals = self._v_source(cache, vb, gates, lid)
-                    c = FR.mul(FR.mul(vals, bg[gates[:, BIN_G]]),
-                               self.tm[gates[:, BIN_SC]])
+                    c = FR.mul(vals, bg[gates[:, BIN_G]])
+                    if not cache[f"bin{b}{vb}_sc0"]:
+                        c = FR.mul(c, self.tm[gates[:, BIN_SC]])
                     parts.append(c)
                     segs.append(gates[:, BIN_U])
             if parts:
@@ -337,10 +346,11 @@ class Prover:
             for ub in (0, 1):
                 gates = cache[f"bin{ub}{vb}"]
                 if gates.shape[0]:
-                    c = FR.mul(FR.mul(self.beta_g[gates[:, BIN_G]],
-                                      beta_u[gates[:, BIN_U]]),
-                               self.tm[gates[:, BIN_SC]])
-                    c = FR.mul(c, jnp.broadcast_to(vus[ub], c.shape))
+                    c = FR.mul(self.beta_g[gates[:, BIN_G]],
+                               beta_u[gates[:, BIN_U]])
+                    if not cache[f"bin{ub}{vb}_sc0"]:
+                        c = FR.mul(c, self.tm[gates[:, BIN_SC]])
+                    c = FR.mul_scalar(c, vus[ub])
                     parts.append(c)
                     segs.append(gates[:, BIN_V])
             if parts:
