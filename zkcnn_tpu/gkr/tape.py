@@ -35,3 +35,36 @@ class Tape:
         t = Tape(self.seed)
         t.counter = self.counter
         return t
+
+    def absorb(self, *values: int):
+        """No-op for the plain seeded tape (interactive model, like the
+        reference); the Fiat-Shamir tape overrides this."""
+
+
+class FiatShamirTape(Tape):
+    """Non-interactive challenge derivation: every draw depends on all
+    prover messages absorbed so far, making the transcript a
+    self-contained proof.  (Capability beyond the reference, which is
+    interactive-only: SURVEY.md notes there is no Fiat-Shamir transcript
+    anywhere in the C++ codebase.)"""
+
+    def __init__(self, seed: bytes = b"zkcnn-tpu-fs"):
+        super().__init__(seed)
+        self.state = hashlib.sha512(seed).digest()
+
+    def absorb(self, *values: int):
+        h = hashlib.sha512(self.state)
+        for v in values:
+            h.update((v % FR_P).to_bytes(32, "little"))
+        self.state = h.digest()
+
+    def field(self) -> int:
+        h = hashlib.sha512(self.state + self.counter.to_bytes(8, "little"))
+        self.counter += 1
+        return int.from_bytes(h.digest(), "little") % FR_P
+
+    def clone(self) -> "FiatShamirTape":
+        t = FiatShamirTape(self.seed)
+        t.counter = self.counter
+        t.state = self.state
+        return t

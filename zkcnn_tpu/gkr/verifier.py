@@ -162,6 +162,9 @@ class Verifier:
             # (reference verifier.cpp:119-128), then the prover commits.
             self.pcs.setup(self.C.layers[0].bit_length, self.tape)
             self.commitment = self.pcs.commit(self.p.val[0])
+            import hashlib as _hl
+            dig = _hl.sha256(np.asarray(self.commitment).tobytes())
+            self.tape.absorb(int.from_bytes(dig.digest(), "little"))
         ok = self.verify_inner_layers() and self.verify_first_layer() \
             and self.verify_input()
         return ok
@@ -175,6 +178,7 @@ class Verifier:
         r_1 = None
 
         previous_sum = p.v_res(r_0)
+        self.tape.absorb(previous_sum)
         p.sumcheck_init_all(r_0)
 
         for i in range(C.size - 1, 0, -1):
@@ -196,6 +200,7 @@ class Verifier:
                     poly = p.round_cubic(prev_r)
                 else:
                     poly = p.round_quadratic(prev_r)
+                self.tape.absorb(*poly)
                 cur_claim = (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P
                 if cur_claim != previous_sum:
                     self.log(f"FAIL phase1 layer {i} bit {j}")
@@ -209,6 +214,7 @@ class Verifier:
             else:
                 self.final_claim_u0[i], final_claim_u1 = \
                     p.finalize1(self.r_u[i])
+            self.tape.absorb(self.final_claim_u0[i], final_claim_u1)
 
             self._beta_init_phase1(i, alpha, beta, r_0, r_1, relu_rou)
             self._predicate_phase1(i)
@@ -220,6 +226,7 @@ class Verifier:
                 prev_r = None
                 for j in range(cur.max_bl_v):
                     poly = p.round_quadratic(prev_r)
+                    self.tape.absorb(*poly)
                     cur_claim = (_eval_poly(poly, 0)
                                  + _eval_poly(poly, 1)) % FR_P
                     if cur_claim != previous_sum:
@@ -229,6 +236,7 @@ class Verifier:
                     previous_sum = _eval_poly(poly, prev_r)
                 self.final_claim_v0[i], final_claim_v1 = \
                     p.finalize2(self.r_v[i])
+                self.tape.absorb(self.final_claim_v0[i], final_claim_v1)
                 self._predicate_phase2(i)
 
             test_value = self._get_final_value(
@@ -274,6 +282,7 @@ class Verifier:
         prev_r = None
         for j in range(cur.bit_length):
             poly = p.liu_round(prev_r)
+            self.tape.absorb(*poly)
             if (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P \
                     != previous_sum:
                 self.log(f"FAIL liu bit {j}")
@@ -282,6 +291,7 @@ class Verifier:
             previous_sum = _eval_poly(poly, prev_r)
 
         self.eval_in = p.liu_finalize(self.r_u[0])
+        self.tape.absorb(self.eval_in)
 
         # gr = sum over layers of subset predicate at the bound points
         beta_g = beta_table(self.r_u[0], 1)

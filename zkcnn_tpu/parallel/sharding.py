@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.4.35 name
+except ImportError:
+    from jax.experimental.shard_map import shard_map
 
 from ..field import FR
 from ..field.ops import segment_sum_field
