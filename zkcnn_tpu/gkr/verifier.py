@@ -123,10 +123,10 @@ class Verifier:
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
-                c = FR.mul(FR.mul(self.beta_g[uni[:, UNI_G]],
-                                  self.beta_u[uni[:, UNI_U]]),
+                c = FR.mul(self.beta_g[uni[:, UNI_G]],
                            self.tm[uni[:, UNI_SC]])
-                self.uni_value[b] = _host(FR.sum(c, axis=-2))
+                self.uni_value[b] = _host(
+                    FR.dot_mont(c, self.beta_u[uni[:, UNI_U]]))
 
     def _predicate_phase2(self, depth):
         cur = self.C.layers[depth]
@@ -140,19 +140,19 @@ class Verifier:
                 gates = cache[f"bin{ub}{vb}"]
                 if not gates.shape[0]:
                     continue
-                c = FR.mul(FR.mul(self.beta_g[gates[:, BIN_G]],
-                                  self.beta_u[gates[:, BIN_U]]),
-                           beta_v[gates[:, BIN_V]])
+                c = FR.mul(self.beta_g[gates[:, BIN_G]],
+                           self.beta_u[gates[:, BIN_U]])
                 if cur.ty != LayerType.DOT_PROD:
                     c = FR.mul(c, self.tm[gates[:, BIN_SC]])
                 # accumulate per l value present in this group
                 ls = np.asarray(gates[:, BIN_L])
+                bv = beta_v[gates[:, BIN_V]]
                 for l in np.unique(ls):
                     m = jnp.asarray(ls == l)
                     sel = jnp.where(m[:, None], c, jnp.zeros_like(c))
                     self.bin_value[int(l)] = (
                         self.bin_value[int(l)]
-                        + _host(FR.sum(sel, axis=-2))) % FR_P
+                        + _host(FR.dot_mont(sel, bv))) % FR_P
 
     # ------------------------------------------------------------------
 
