@@ -150,3 +150,22 @@ def test_lenet_builds():
         assert ly.max_bl_u >= 0
         if ly.ori_id_u is not None and ly.ori_id_u.size:
             assert ly.ori_id_u.max() < C.layers[0].size
+
+
+def test_vgg_config_build():
+    """Config-driven vgg (reference src/models.cpp:12-41): channel
+    counts + M/A pool markers; tiny channels so it builds fast."""
+    from zkcnn_tpu.nn.models import vgg
+    import zkcnn_tpu.nn.models as M
+
+    nn = vgg(32, 32, 1, 1, ["2", "M", "4", "M", "4", "M", "4", "M",
+                            "4", "M"])
+    # reference tail asserts 32x32 -> 512-dim FCs; patch to the tiny net
+    nn.full_conn[0].channel_in = 1 * 1 * 4
+    nn.full_conn[0].channel_out = 8
+    nn.full_conn[1].channel_in = 8
+    nn.full_conn[1].channel_out = 8
+    nn.full_conn[2].channel_in = 8
+    C, vals = nn.create(random_source(41), only_compute=True)
+    check_zero_regions(C, vals)
+    assert nn.SIZE == C.size
