@@ -11,7 +11,6 @@ reference, which evaluates witnesses before initSubset runs.
 
 from functools import partial, lru_cache
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

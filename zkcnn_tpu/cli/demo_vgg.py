@@ -5,7 +5,7 @@ config file of channel counts and M/A pool markers, or a built-in
 
 from .runner import base_arg_parser, finish_args, run, build_model
 from ..nn import models as model_zoo
-from ..nn.params import PoolType
+
 
 
 def main():

@@ -13,7 +13,7 @@ from ..circuit import ceil_pow2_bit_length
 from ..gkr import Prover, Verifier, Tape
 from ..nn import TensorSource, csv_source, random_source
 from ..nn import models as model_zoo
-from ..nn.params import PoolType, ConvType
+from ..nn.params import PoolType
 from ..pcs import HyraxPCS
 
 OUT_COLS = ["MO_INFO", "PSIZE", "KSIZE", "PCNT", "CONV_TY", "QS", "WS",

@@ -19,7 +19,7 @@ All collectives are XLA collectives over a `jax.sharding.Mesh`; no
 host-side communication.
 """
 
-from functools import partial
+
 
 import numpy as np
 import jax

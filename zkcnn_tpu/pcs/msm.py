@@ -13,7 +13,7 @@ row-combination MSM, and the final opening check (SURVEY.md section 3E;
 reference call sites verifier.cpp:119-128,359-373).
 """
 
-from functools import partial
+
 
 import numpy as np
 import jax
