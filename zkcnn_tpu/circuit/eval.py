@@ -67,36 +67,24 @@ def eval_normal_layer(layer: Layer, val0, val_prev):
                        tm, scale_pack, out_pow2)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _dot_prod(x_hat, w_hat, ci: int, chunk: int):
-    """x_hat: [P, ci, L, n], w_hat: [CO, ci, L, n] ->
-    out[p, co, L] = sum_ci x*w, chunked over ci."""
-    P = x_hat.shape[0]
-    CO = w_hat.shape[0]
-    acc = None
-    for s in range(0, ci, chunk):
-        e = min(ci, s + chunk)
-        prod = FR.mul(x_hat[:, None, s:e], w_hat[None, :, s:e])
-        ssum = FR.sum(prod, axis=2)
-        acc = ssum if acc is None else FR.add(acc, ssum)
-    return acc
-
-
 def eval_dot_prod_layer(layer: Layer, val_prev, pic_parallel: int,
                         channel_out: int, channel_in: int):
     """calcDotProdLayer (reference src/neuralNetwork.cpp:937-948) but
-    computed structurally: out[p,co,t] = sum_ci x^[p,ci,t] * w^[co,ci,t].
-    val_prev is the FFT layer output, layout
-    [ (pic | pic+co) * channel_in, fft_len, n ] row-major."""
+    computed structurally: out[p,co,t] = sum_ci x^[p,ci,t] * w^[co,ci,t]
+    is one field matmul [pic, ci] x [ci, co] per frequency t, batched on
+    the MXU (field_batched_matmul).  val_prev is the FFT layer output,
+    layout [ (pic | pic+co) * channel_in, fft_len, n ] row-major."""
+    from ..field.matmul import field_batched_matmul
     L = 1 << layer.fft_bit_length
     cnt = pic_parallel + channel_out
     x = val_prev[: cnt * channel_in * L].reshape(cnt, channel_in, L, FR.n)
-    x_hat = x[:pic_parallel]
-    w_hat = x[pic_parallel:]
-    chunk = max(1, min(channel_in, 2 ** 22 // max(1, L * (
-        pic_parallel * channel_out))))
-    out = _dot_prod(x_hat, w_hat, channel_in, chunk)
-    out = out.reshape(pic_parallel * channel_out * L, FR.n)
+    x_hat = jnp.transpose(x[:pic_parallel], (2, 0, 1, 3))  # [L, pic, ci]
+    w_hat = jnp.transpose(x[pic_parallel:], (2, 1, 0, 3))  # [L, ci, co]
+    t_chunk = max(1, min(L, 2 ** 24 // max(
+        1, pic_parallel * channel_in * channel_out * 4)))
+    out = field_batched_matmul(x_hat, w_hat, t_chunk=t_chunk)
+    out = jnp.transpose(out, (1, 2, 0, 3)).reshape(
+        pic_parallel * channel_out * L, FR.n)
     pad = (1 << layer.bit_length) - out.shape[0]
     if pad:
         out = jnp.pad(out, ((0, pad), (0, 0)))

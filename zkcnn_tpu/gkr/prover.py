@@ -225,16 +225,33 @@ class Prover:
         beta_gs = beta_table(self.r_0[:fft_bl], 1)
         prev = self.val[lid - 1]
 
-        gates = cache["bin11"]            # all DOT_PROD gates have l=1
-        # V0[u<<fft_bl|t] += beta_g[g] * prev[v<<fft_bl|t]
-        rows = prev[: (1 << nb1)].reshape(-1, L, FR.n)
-        coef = self.beta_g[gates[:, BIN_G]]
-        contrib = FR.mul(coef[:, None, :], rows[gates[:, BIN_V]])
-        V0 = segment_sum_field(contrib.reshape(-1, FR.n),
-                               jnp.repeat(gates[:, BIN_U], L) * L
-                               + jnp.tile(jnp.arange(L),
-                                          gates.shape[0]),
-                               1 << nb1)
+        dp = getattr(cur, "dp_dims", None)
+        if dp is not None:
+            # structural path: V0[(p,ci),t] = sum_co beta[(p,co)] *
+            # W[(co,ci),t] is one field matmul on the MXU; no per-gate
+            # [gates * fft_len] intermediate (vgg-scale enabler)
+            from ..field.matmul import field_matmul
+            pic, co_n, ci_n = dp
+            A = self.beta_g[: pic * co_n].reshape(pic, co_n, FR.n)
+            W = prev[pic * ci_n * L: (pic + co_n) * ci_n * L].reshape(
+                co_n, ci_n * L, FR.n)
+            n_chunk = max(256, min(ci_n * L, 2 ** 22 // max(1, pic)))
+            out = field_matmul(A, W, n_chunk=n_chunk)
+            V0 = out.reshape(pic * ci_n * L, FR.n)
+            pad = (1 << nb1) - V0.shape[0]
+            if pad:
+                V0 = jnp.pad(V0, ((0, pad), (0, 0)))
+        else:
+            gates = cache["bin11"]        # all DOT_PROD gates have l=1
+            # V0[u<<fft_bl|t] += beta_g[g] * prev[v<<fft_bl|t]
+            rows = prev[: (1 << nb1)].reshape(-1, L, FR.n)
+            coef = self.beta_g[gates[:, BIN_G]]
+            contrib = FR.mul(coef[:, None, :], rows[gates[:, BIN_V]])
+            V0 = segment_sum_field(contrib.reshape(-1, FR.n),
+                                   jnp.repeat(gates[:, BIN_U], L) * L
+                                   + jnp.tile(jnp.arange(L),
+                                              gates.shape[0]),
+                                   1 << nb1)
         V1 = prev[: 1 << nb1]
         self.phase = DotProdPhase1(beta_gs, V0, V1, fft_bl, nb1)
 

@@ -329,6 +329,7 @@ class NeuralNetwork:
         u = P * ci_n + CI
         v = (pic + CO) * ci_n + CI
         layer.bin = _stack_bin(g, u, v, 0, 1)
+        layer.dp_dims = (pic, co_n, ci_n)   # structural fast paths
         self.vals[lid] = eval_dot_prod_layer(layer, self.vals[lid - 1],
                                              pic, co_n, ci_n)
 
