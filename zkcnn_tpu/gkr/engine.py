@@ -101,8 +101,9 @@ class PhaseEngine:
         rp = _pack(r)
         for s in self.sides:
             if s is not None and s.active:
-                s.A = fold(s.A, rp)
-                s.V = fold(s.V, rp)
+                # fold A and V in one fused kernel call
+                st = fold(jnp.stack([s.A, s.V]), rp)
+                s.A, s.V = st[0], st[1]
                 s.folds += 1
 
     def final_claim(self, b: int, bit_length: int) -> int:

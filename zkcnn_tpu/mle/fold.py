@@ -34,8 +34,8 @@ def fold(X, r_pack):
     Fused two-scalar linear combination: both scalar multiplies ride a
     Toeplitz matmul on the MXU and share ONE Montgomery reduction (3
     carry resolutions total instead of 7 for sub+mul+add)."""
-    e = X[0::2]
-    o = X[1::2]
+    e = X[..., 0::2, :]
+    o = X[..., 1::2, :]
     one = jnp.asarray(FR.one_mont)
     s0 = FR.sub(one[None], r_pack.reshape(1, -1))[0]
     return FR.lincomb2_scalar(e, o, s0, r_pack)
