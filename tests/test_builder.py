@@ -169,3 +169,30 @@ def test_vgg_config_build():
     C, vals = nn.create(random_source(41), only_compute=True)
     check_zero_regions(C, vals)
     assert nn.SIZE == C.size
+
+
+@pytest.mark.slow
+def test_lenet_cifar_builds():
+    from zkcnn_tpu.nn.models import lenetCifar
+    nn = lenetCifar(32, 32, 3, 1, PoolType.MAX)
+    C, vals = nn.create(random_source(66))
+    check_zero_regions(C, vals)
+    assert nn.infer().shape == (1,)
+
+
+@pytest.mark.slow
+def test_vgg11_builds():
+    from zkcnn_tpu.nn.models import vgg11
+    nn = vgg11(32, 32, 3, 1, PoolType.MAX)
+    C, vals = nn.create(random_source(77))
+    check_zero_regions(C, vals)
+    assert nn.infer().shape == (1,)
+
+
+@pytest.mark.slow
+def test_lenet_pic16_builds():
+    nn = lenet(32, 32, 1, 16, PoolType.MAX)
+    C, vals = nn.create(random_source(55))
+    check_zero_regions(C, vals)
+    preds = nn.infer()
+    assert (preds == preds[0]).all()

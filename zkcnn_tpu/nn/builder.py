@@ -188,7 +188,15 @@ class NeuralNetwork:
         return np.trunc(vals * math.pow(2.0, bit)).astype(np.int64)
 
     def _get_next_bit(self, layer_id: int) -> int:
-        """getNextBit (reference neuralNetwork.cpp:967-977)."""
+        """getNextBit (reference neuralNetwork.cpp:967-977).
+
+        One deliberate divergence: the reference's `(int)log2(...)` cast
+        truncates toward zero, which ROUNDS UP when the log is negative
+        (large activations), making Q_MAX one bit too small and breaking
+        the ReLU bit-reconstruction — a latent bug its bundled demo data
+        never triggers.  floor() is identical on the reference's domain
+        and correct in the corner (observed on lenetCifar with synthetic
+        inputs: max|v| = 2^16.05 vs a Q_MAX budget of 2^16)."""
         v = self.vals[layer_id]
         neg, hi, lo = (np.asarray(a) for a in SIGNED_FR.to_hilo(v))
         u = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
@@ -196,7 +204,7 @@ class NeuralNetwork:
         mn = int(u[neg].max()) if neg.any() else 0
         x = mx + mn
         real_scale = x / math.pow(2.0, self.x_bit + self.w_bit)
-        return int(math.log2(((1 << (self.Q - 1)) - 1) / real_scale))
+        return math.floor(math.log2(((1 << (self.Q - 1)) - 1) / real_scale))
 
     # ------------------------------------------------------------------
     # val0 (input-layer witness) management
