@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the limb-arithmetic composites are
 # compile-heavy; cache them across test processes.
 import pathlib
-_cache = pathlib.Path("/tmp/zkcnn_tpu_xla_cache")
+_cache = pathlib.Path("/tmp/zkcnn_tpu_xla_cache_cpu")
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

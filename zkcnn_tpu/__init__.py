@@ -25,11 +25,28 @@ __version__ = "0.1.0"
 import os as _os
 import jax as _jax
 
+# IMPORTANT: cache dirs are per-platform. The axon (TPU tunnel)
+# backend writes host-side AOT executables compiled on the REMOTE
+# machine's CPU (different ISA features); loading those from a pure-CPU
+# process SIGILLs. Processes that force the CPU backend must call
+# use_cpu_cache() (tests/conftest.py and the CLI --cpu flag do).
 _cache_dir = _os.environ.get("ZKCNN_TPU_XLA_CACHE",
-                             "/tmp/zkcnn_tpu_xla_cache")
+                             "/tmp/zkcnn_tpu_xla_cache_axon")
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
+
+
+def use_cpu_cache():
+    """Switch the persistent compile cache to the CPU-only directory
+    (call after forcing jax_platforms='cpu')."""
+    d = _os.environ.get("ZKCNN_TPU_XLA_CACHE_CPU",
+                        "/tmp/zkcnn_tpu_xla_cache_cpu")
+    try:
+        _os.makedirs(d, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", d)
+    except Exception:
+        pass

@@ -48,6 +48,8 @@ def finish_args(args):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+        from .. import use_cpu_cache
+        use_cpu_cache()
     if args.pic_cnt_kw is not None:
         args.pic_cnt = args.pic_cnt_kw
     if not args.synthetic and not args.input_file:

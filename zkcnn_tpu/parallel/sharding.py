@@ -61,7 +61,7 @@ def sharded_fold_coeffs(mesh: Mesh, axis: str = "hyper"):
                   in_specs=(P(axis, None), P(axis, None), P(None)),
                   out_specs=(P(None), P(None), P(None),
                              P(axis, None), P(axis, None)),
-                  check_rep=False)
+                  check_vma=False)
     return jax.jit(f)
 
 
@@ -73,7 +73,7 @@ def sharded_ntt(mesh: Mesh, logn: int, axis: str = "data"):
         return ntt(x, logn)
 
     f = shard_map(step, mesh=mesh, in_specs=(P(axis, None, None),),
-                  out_specs=P(axis, None, None), check_rep=False)
+                  out_specs=P(axis, None, None))
     return jax.jit(f)
 
 
@@ -89,7 +89,7 @@ def sharded_segment_sum(mesh: Mesh, num_segments: int, axis: str = "hyper"):
 
     f = shard_map(step, mesh=mesh,
                   in_specs=(P(axis, None), P(axis)),
-                  out_specs=P(None, None), check_rep=False)
+                  out_specs=P(None, None), check_vma=False)
     return jax.jit(f)
 
 
@@ -103,6 +103,5 @@ def sharded_dot(mesh: Mesh, axis: str = "hyper"):
 
     f = shard_map(step, mesh=mesh,
                   in_specs=(P(axis, None), P(axis, None)),
-                  out_specs=P(None),
-                  check_rep=False)
+                  out_specs=P(None), check_vma=False)
     return jax.jit(f)
