@@ -30,10 +30,21 @@ def main():
     V = jnp.asarray(rng.integers(0, 1 << 16, (N, FR.n), dtype=np.uint32))
     r = jnp.asarray(FR.to_mont_host(12345678901234567890))
 
-    @jax.jit
-    def round_step(A, V, r):
-        c0, c1, c2 = coeffs_quadratic(A, V)
-        return c0, c1, c2, fold(A, r), fold(V, r)
+    kernel = "xla"
+    try:
+        if jax.default_backend() == "tpu":
+            from zkcnn_tpu.field.pallas_round import round_step as _prs
+
+            def round_step(A, V, r):
+                return _prs(A, V, r)
+            kernel = "pallas"
+    except Exception:
+        pass
+    if kernel == "xla":
+        @jax.jit
+        def round_step(A, V, r):
+            c0, c1, c2 = coeffs_quadratic(A, V)
+            return c0, c1, c2, fold(A, r), fold(V, r)
 
     # warm up / compile
     out = round_step(A, V, r)
@@ -57,9 +68,10 @@ def main():
         "value": round(rate, 1),
         "unit": "muls/s",
         "vs_baseline": round(rate / baseline, 3),
-        "note": "fused sumcheck round (coeffs+fold) on 2^20 hypercube; "
-                "baseline = 1e7 muls/s est. single-thread mcl (reference "
-                "unbuildable: hyrax submodule + data absent)",
+        "note": f"fused sumcheck round ({kernel} kernel: coeffs+fold) on "
+                "2^20 hypercube; baseline = 1e7 muls/s est. single-thread "
+                "mcl (reference unbuildable: hyrax submodule + data "
+                "absent)",
     }))
 
 

@@ -93,6 +93,23 @@ def test_ccnn_batched_pics_e2e():
     assert v.verify()
 
 
+def test_fused_matches_per_round():
+    """The fused whole-phase runner (gkr/fused.py) must produce the
+    exact same transcript (proof size, input eval) as the per-round
+    engine path it replaces."""
+    results = []
+    for fused in (True, False):
+        nn = ccnn(8, 8, 1, 1, PoolType.AVG)
+        C, vals = nn.create(random_source(41))
+        p = Prover(C, vals)
+        tape = Tape(b"fused-eq")
+        tape.precomputable = fused
+        v = Verifier(p, C, tape)
+        assert v.verify()
+        results.append((p.proof_size, v.eval_in))
+    assert results[0] == results[1]
+
+
 def test_fiat_shamir_e2e():
     """Non-interactive tape: challenges derived from absorbed prover
     messages; proof still verifies, and tampering with the witness

@@ -106,6 +106,37 @@ class PhaseEngine:
                 s.A, s.V = st[0], st[1]
                 s.folds += 1
 
+    def run_all(self, rs):
+        """All rounds at once on device (see fused.py); returns the
+        round polys as host-int triples and leaves the sides in their
+        fully-folded state (subsequent receive() calls are no-ops)."""
+        from .fused import _fused_quad, pack_challenges, _polys_host, \
+            _use_pallas
+        R = len(rs)
+        if R == 0:
+            return []
+        dummy = jnp.zeros((1, FR.n), jnp.uint32)
+        nbs, args = [], []
+        for s in self.sides:
+            if s is None:
+                nbs.append(-1)
+                args += [dummy, dummy]
+            else:
+                nbs.append(s.nb)
+                args += [s.A, s.V]
+        fn = _fused_quad(R, nbs[0], nbs[1], self.include_add_term,
+                         _use_pallas())
+        polys, finals = fn(*args, pack_challenges(rs),
+                           _pack(self.add_term))
+        f = np.asarray(finals)
+        for b, s in enumerate(self.sides):
+            if s is not None:
+                s.A = jnp.asarray(f[2 * b: 2 * b + 1])
+                s.V = jnp.asarray(f[2 * b + 1: 2 * b + 2])
+                s.folds = s.nb
+                s.collapsed = True
+        return _polys_host(polys)
+
     def final_claim(self, b: int, bit_length: int) -> int:
         """Finalize semantics (reference prover.cpp:459-485): folded
         value if the side ran, its constant if it collapsed, else 0."""
@@ -167,9 +198,27 @@ class DotProdPhase1:
         rp = _pack(r)
         if self.m.shape[0] > 1:
             self.m = fold(self.m, rp)
-        self.V0 = fold(self.V0, rp)
-        self.V1 = fold(self.V1, rp)
+        if self.V0.shape[0] > 1:
+            self.V0 = fold(self.V0, rp)
+            self.V1 = fold(self.V1, rp)
         self.folds += 1
+
+    def run_all(self, rs):
+        """All rounds at once on device (see fused.py)."""
+        from .fused import _fused_cubic, pack_challenges, _polys_host, \
+            _use_pallas
+        R = len(rs)
+        if R == 0:
+            return []
+        assert R >= self.fft_bl
+        fn = _fused_cubic(R, self.fft_bl, _use_pallas())
+        polys, finals = fn(self.m, self.V0, self.V1, pack_challenges(rs))
+        f = np.asarray(finals)
+        self.m = jnp.asarray(f[0:1])
+        self.V0 = jnp.asarray(f[1:2])
+        self.V1 = jnp.asarray(f[2:3])
+        self.folds = R
+        return _polys_host(polys)
 
     def finalize(self):
         """-> (claim_1, V_u1) (reference prover.cpp:146-153)."""

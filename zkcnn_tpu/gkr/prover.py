@@ -29,7 +29,7 @@ from ..circuit import Circuit, Layer, LayerType
 from ..circuit.eval import two_mul_table
 from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
     BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
-from ..mle import beta_table, beta_table_2pt, phi_table, mle_eval
+from ..mle import beta_table, beta_table_2pt, phi_table
 from .engine import Side, PhaseEngine, DotProdPhase1, _host, _pack
 
 F_BYTE_SIZE = 32
@@ -72,7 +72,8 @@ class Prover:
         """Fold the output layer's MLE at the verifier's point
         (reference Vres, prover.cpp:434-457)."""
         self.proof_size += F_BYTE_SIZE
-        return mle_eval(self.val[self.C.size - 1], r_0)
+        from .fused import mle_eval_fused
+        return mle_eval_fused(self.val[self.C.size - 1], r_0)
 
     def sumcheck_init_all(self, r_0: List[int]):
         self.sumcheck_id = self.C.size
@@ -257,6 +258,22 @@ class Prover:
 
     # ------------------------------------------------------------------
     # round updates
+
+    @_timed
+    def run_rounds_quad(self, rs: List[int]):
+        """Fused path: all round polys of the current quadratic phase
+        in one device program (challenges known up front; see
+        fused.py)."""
+        polys = self.phase.run_all(rs)
+        self.proof_size += F_BYTE_SIZE * 3 * len(polys)
+        return polys
+
+    @_timed
+    def run_rounds_cubic(self, rs: List[int]):
+        polys = self.phase.run_all(rs)
+        for p4 in polys:
+            self.proof_size += F_BYTE_SIZE * (3 + (p4[3] != 0))
+        return polys
 
     @_timed
     def round_quadratic(self, prev_r: int):

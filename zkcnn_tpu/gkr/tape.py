@@ -15,6 +15,12 @@ from ..field.params import FR_P
 
 
 class Tape:
+    # Draws are counter-based and independent of absorbed prover
+    # messages, so a whole phase's challenges can be drawn before its
+    # first round -- this enables the fused whole-phase device runners
+    # (gkr/fused.py).  FiatShamirTape must set this False.
+    precomputable = True
+
     def __init__(self, seed: bytes = b"zkcnn-tpu"):
         self.seed = seed
         self.counter = 0
@@ -47,6 +53,8 @@ class FiatShamirTape(Tape):
     self-contained proof.  (Capability beyond the reference, which is
     interactive-only: SURVEY.md notes there is no Fiat-Shamir transcript
     anywhere in the C++ codebase.)"""
+
+    precomputable = False
 
     def __init__(self, seed: bytes = b"zkcnn-tpu-fs"):
         super().__init__(seed)

@@ -156,6 +156,18 @@ class Verifier:
 
     # ------------------------------------------------------------------
 
+    def _check_rounds(self, polys, rs, previous_sum: int, what: str):
+        """Replay the per-round consistency checks (verifier.cpp:
+        177-194) host-side from a fused phase's coefficient list."""
+        for j, poly in enumerate(polys):
+            self.tape.absorb(*poly)
+            if (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P \
+                    != previous_sum:
+                self.log(f"FAIL {what} bit {j}")
+                return False, previous_sum
+            previous_sum = _eval_poly(poly, rs[j])
+        return True, previous_sum
+
     def verify(self) -> bool:
         if self.pcs is not None:
             # gens are drawn from the verifier tape before anything else
@@ -194,19 +206,32 @@ class Verifier:
             else:
                 p.sumcheck_init_phase1(relu_rou)
 
-            prev_r = None
-            for j in range(cur.max_bl_u):
+            if self.tape.precomputable:
+                # fused path: one device program for the whole phase,
+                # per-round checks replayed host-side (fused.py)
                 if cur.ty == LayerType.DOT_PROD:
-                    poly = p.round_cubic(prev_r)
+                    polys = p.run_rounds_cubic(self.r_u[i])
                 else:
-                    poly = p.round_quadratic(prev_r)
-                self.tape.absorb(*poly)
-                cur_claim = (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P
-                if cur_claim != previous_sum:
-                    self.log(f"FAIL phase1 layer {i} bit {j}")
+                    polys = p.run_rounds_quad(self.r_u[i])
+                ok, previous_sum = self._check_rounds(
+                    polys, self.r_u[i], previous_sum, f"phase1 layer {i}")
+                if not ok:
                     return False
-                prev_r = self.r_u[i][j]
-                previous_sum = _eval_poly(poly, prev_r)
+            else:
+                prev_r = None
+                for j in range(cur.max_bl_u):
+                    if cur.ty == LayerType.DOT_PROD:
+                        poly = p.round_cubic(prev_r)
+                    else:
+                        poly = p.round_quadratic(prev_r)
+                    self.tape.absorb(*poly)
+                    cur_claim = (_eval_poly(poly, 0)
+                                 + _eval_poly(poly, 1)) % FR_P
+                    if cur_claim != previous_sum:
+                        self.log(f"FAIL phase1 layer {i} bit {j}")
+                        return False
+                    prev_r = self.r_u[i][j]
+                    previous_sum = _eval_poly(poly, prev_r)
 
             if cur.ty == LayerType.DOT_PROD:
                 final_claim_u1 = p.dotprod_finalize1(self.r_u[i])
@@ -223,17 +248,25 @@ class Verifier:
             if cur.need_phase2:
                 self.r_v[i] = self.tape.fields(cur.max_bl_v)
                 p.sumcheck_init_phase2()
-                prev_r = None
-                for j in range(cur.max_bl_v):
-                    poly = p.round_quadratic(prev_r)
-                    self.tape.absorb(*poly)
-                    cur_claim = (_eval_poly(poly, 0)
-                                 + _eval_poly(poly, 1)) % FR_P
-                    if cur_claim != previous_sum:
-                        self.log(f"FAIL phase2 layer {i} bit {j}")
+                if self.tape.precomputable:
+                    polys = p.run_rounds_quad(self.r_v[i])
+                    ok, previous_sum = self._check_rounds(
+                        polys, self.r_v[i], previous_sum,
+                        f"phase2 layer {i}")
+                    if not ok:
                         return False
-                    prev_r = self.r_v[i][j]
-                    previous_sum = _eval_poly(poly, prev_r)
+                else:
+                    prev_r = None
+                    for j in range(cur.max_bl_v):
+                        poly = p.round_quadratic(prev_r)
+                        self.tape.absorb(*poly)
+                        cur_claim = (_eval_poly(poly, 0)
+                                     + _eval_poly(poly, 1)) % FR_P
+                        if cur_claim != previous_sum:
+                            self.log(f"FAIL phase2 layer {i} bit {j}")
+                            return False
+                        prev_r = self.r_v[i][j]
+                        previous_sum = _eval_poly(poly, prev_r)
                 self.final_claim_v0[i], final_claim_v1 = \
                     p.finalize2(self.r_v[i])
                 self.tape.absorb(self.final_claim_v0[i], final_claim_v1)
@@ -279,16 +312,23 @@ class Verifier:
         previous_sum %= FR_P
 
         p.sumcheck_liu_init(sig_u, sig_v)
-        prev_r = None
-        for j in range(cur.bit_length):
-            poly = p.liu_round(prev_r)
-            self.tape.absorb(*poly)
-            if (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P \
-                    != previous_sum:
-                self.log(f"FAIL liu bit {j}")
+        if self.tape.precomputable:
+            polys = p.run_rounds_quad(self.r_u[0])
+            ok, previous_sum = self._check_rounds(
+                polys, self.r_u[0], previous_sum, "liu")
+            if not ok:
                 return False
-            prev_r = self.r_u[0][j]
-            previous_sum = _eval_poly(poly, prev_r)
+        else:
+            prev_r = None
+            for j in range(cur.bit_length):
+                poly = p.liu_round(prev_r)
+                self.tape.absorb(*poly)
+                if (_eval_poly(poly, 0) + _eval_poly(poly, 1)) % FR_P \
+                        != previous_sum:
+                    self.log(f"FAIL liu bit {j}")
+                    return False
+                prev_r = self.r_u[0][j]
+                previous_sum = _eval_poly(poly, prev_r)
 
         self.eval_in = p.liu_finalize(self.r_u[0])
         self.tape.absorb(self.eval_in)
