@@ -33,11 +33,13 @@ def main():
     kernel = "xla"
     try:
         if jax.default_backend() == "tpu":
-            from zkcnn_tpu.field.pallas_round import round_step as _prs
+            from zkcnn_tpu.field.pallas_round2 import round_step2, to_red
+            A = to_red(A)
+            V = to_red(V)
 
             def round_step(A, V, r):
-                return _prs(A, V, r)
-            kernel = "pallas"
+                return round_step2(A, V, r)
+            kernel = "pallas-v2"
     except Exception:
         pass
     if kernel == "xla":

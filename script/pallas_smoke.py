@@ -59,3 +59,37 @@ for _ in range(iters):
 jax.block_until_ready(out[1])
 dt = (time.time() - t0) / iters
 print("pallas round 2^20: %.2f ms -> %.1fM muls/s" % (dt*1e3, 3*N/dt/1e6), flush=True)
+
+# ---- v2 kernel ----
+from zkcnn_tpu.field.pallas_round2 import round_step2, to_red, red_to_mont, TILE2
+m = 2 * TILE2
+A, V = rand_mont(m), rand_mont(m)
+t0 = time.time()
+d, A2r, V2r = round_step2(to_red(A), to_red(V), rp)
+jax.block_until_ready(A2r)
+print("v2 compile+run %.1fs" % (time.time() - t0), flush=True)
+d_ref = np.asarray(coeffs_quadratic_dots(A, V))
+assert [FR.from_mont_host(x) for x in np.asarray(d)] == \
+       [FR.from_mont_host(x) for x in d_ref], "V2 DOTS MISMATCH"
+np.testing.assert_array_equal(np.asarray(red_to_mont(A2r)), np.asarray(fold(A, rp)))
+print("v2 OK on TPU", flush=True)
+
+# v2 throughput at 2^20
+N2 = 1 << 20
+A = jnp.tile(rand_mont(4096), (N2 // 4096, 1))
+V = jnp.tile(rand_mont(4096), (N2 // 4096, 1))
+Ar, Vr = to_red(A), to_red(V)
+out = round_step2(Ar, Vr, rp); jax.block_until_ready(out[1])
+iters = 20
+t0 = time.time()
+for _ in range(iters):
+    out = round_step2(Ar, Vr, rp)
+jax.block_until_ready(out[1])
+dt = (time.time() - t0) / iters
+print("v2 round 2^20: %.2f ms -> %.1fM muls/s" % (dt*1e3, 3*N2/dt/1e6), flush=True)
+
+# second shape to gauge per-shape Mosaic compile cost
+A3 = Ar[: (1 << 18)]; V3 = Vr[: (1 << 18)]
+t0 = time.time()
+out = round_step2(A3, V3, rp); jax.block_until_ready(out[1])
+print("v2 2^18 compile+run %.1fs" % (time.time() - t0), flush=True)

@@ -93,10 +93,12 @@ def test_ccnn_batched_pics_e2e():
     assert v.verify()
 
 
-def test_fused_matches_per_round():
+def test_fused_matches_per_round(monkeypatch):
     """The fused whole-phase runner (gkr/fused.py) must produce the
     exact same transcript (proof size, input eval) as the per-round
-    engine path it replaces."""
+    engine path it replaces.  Forces the one-program unrolled build
+    (off by default on the CPU test backend for compile time)."""
+    monkeypatch.setenv("ZKCNN_TPU_FORCE_FUSED", "1")
     results = []
     for fused in (True, False):
         nn = ccnn(8, 8, 1, 1, PoolType.AVG)

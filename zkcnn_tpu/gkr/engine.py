@@ -106,15 +106,26 @@ class PhaseEngine:
                 s.A, s.V = st[0], st[1]
                 s.folds += 1
 
+    def _run_all_steps(self, rs):
+        """Per-round fallback with run_all's contract (identical math;
+        small per-shape kernels -- the CPU test path)."""
+        polys = []
+        for r in rs:
+            polys.append(self.round_poly())
+            self.receive(r)
+        return polys
+
     def run_all(self, rs):
         """All rounds at once on device (see fused.py); returns the
         round polys as host-int triples and leaves the sides in their
         fully-folded state (subsequent receive() calls are no-ops)."""
         from .fused import _fused_quad, pack_challenges, _polys_host, \
-            _use_pallas
+            _pallas_version, _fused_enabled
         R = len(rs)
         if R == 0:
             return []
+        if not _fused_enabled():
+            return self._run_all_steps(rs)
         dummy = jnp.zeros((1, FR.n), jnp.uint32)
         nbs, args = [], []
         for s in self.sides:
@@ -125,7 +136,7 @@ class PhaseEngine:
                 nbs.append(s.nb)
                 args += [s.A, s.V]
         fn = _fused_quad(R, nbs[0], nbs[1], self.include_add_term,
-                         _use_pallas())
+                         _pallas_version())
         polys, finals = fn(*args, pack_challenges(rs),
                            _pack(self.add_term))
         f = np.asarray(finals)
@@ -203,13 +214,22 @@ class DotProdPhase1:
             self.V1 = fold(self.V1, rp)
         self.folds += 1
 
+    def _run_all_steps(self, rs):
+        polys = []
+        for r in rs:
+            polys.append(self.round_poly())
+            self.receive(r)
+        return polys
+
     def run_all(self, rs):
         """All rounds at once on device (see fused.py)."""
         from .fused import _fused_cubic, pack_challenges, _polys_host, \
-            _use_pallas
+            _use_pallas, _fused_enabled
         R = len(rs)
         if R == 0:
             return []
+        if not _fused_enabled():
+            return self._run_all_steps(rs)
         assert R >= self.fft_bl
         fn = _fused_cubic(R, self.fft_bl, _use_pallas())
         polys, finals = fn(self.m, self.V0, self.V1, pack_challenges(rs))

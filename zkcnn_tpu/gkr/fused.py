@@ -32,11 +32,35 @@ from ..field import FR
 from ..mle import fold, coeffs_quadratic_dots
 
 
+def _pallas_version() -> int:
+    """Pallas round-kernel routing on real TPU hardware:
+    0 = off (pure XLA), 1 = canonical-form kernels (pallas_round.py),
+    2 = carry-free RED-form kernels (pallas_round2.py, default)."""
+    v = os.environ.get("ZKCNN_TPU_PALLAS", "2")
+    if v not in ("0", "1", "2"):
+        v = "2"
+    try:
+        if jax.default_backend() != "tpu":
+            return 0
+    except Exception:
+        return 0
+    return int(v)
+
+
 def _use_pallas() -> bool:
-    """Route big quadratic rounds through the fused Pallas kernel
-    (field/pallas_round.py) on real TPU hardware."""
-    if os.environ.get("ZKCNN_TPU_PALLAS", "1") != "1":
-        return False
+    return _pallas_version() > 0
+
+
+def _fused_enabled() -> bool:
+    """Whether run_all builds the ONE-program unrolled phase.
+
+    The big unrolled programs pay off on TPU (dispatch-latency-bound
+    over the tunnel) but compile slowly on the CPU test backend, so CPU
+    defaults to the mathematically identical per-round step loop.
+    ZKCNN_TPU_FORCE_FUSED=1/0 overrides (tests use 1)."""
+    env = os.environ.get("ZKCNN_TPU_FORCE_FUSED")
+    if env is not None:
+        return env == "1"
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -59,7 +83,7 @@ def _quad_coeffs(A, V):
 
 @lru_cache(maxsize=256)
 def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
-                use_pallas: bool):
+                pallas_v: int):
     """All R rounds of a (<=2)-side quadratic phase in one program.
 
     Side b participates in rounds 0..nb_b-1; at round nb_b its folded
@@ -67,17 +91,31 @@ def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
     semantics, reference src/prover.cpp:375-378,400-404).
     Absent sides have nb_b < 0 and receive [1, n] dummies.
 
-    With use_pallas, rounds on large operands run the single fused
+    With pallas_v > 0, rounds on large operands run the single fused
     Pallas kernel (dots + fold in one HBM pass); small tails stay on
-    the XLA kernels.
+    the XLA kernels.  v2 keeps operands in the redundant RED column
+    form between consecutive kernel rounds (carry-free Montgomery),
+    converting back to canonical limbs at the kernel/XLA boundary.
     """
     from ..field.pallas_round import round_step, supported
+    from ..field.pallas_round2 import (round_step2, supported2, to_red,
+                                       red_to_mont, TILE2)
+    # CPU test hook: run the Pallas kernels in interpreter mode
+    interp = os.environ.get("ZKCNN_TPU_PALLAS_INTERPRET") == "1"
 
     def run(A0, V0, A1, V1, rs, add0):
         sides = [[A0, V0, nb0], [A1, V1, nb1]]
+        red = [False, False]
         add = add0
         zero = jnp.zeros(FR.n, jnp.uint32)
         polys = []
+
+        def to_canon(b):
+            if red[b]:
+                s = sides[b]
+                s[0], s[1] = red_to_mont(s[0]), red_to_mont(s[1])
+                red[b] = False
+
         for j in range(R):
             c0 = c1 = c2 = zero
             pre_folded = [False, False]
@@ -86,17 +124,31 @@ def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
                     continue
                 if j < s[2]:
                     m = s[0].shape[0]
-                    if use_pallas and m >= 1024 and supported(m):
-                        d, A2, V2 = round_step(s[0], s[1], rs[j])
+                    if pallas_v == 2 and m >= 2 * TILE2 \
+                            and supported2(m):
+                        if not red[b]:
+                            s[0], s[1] = to_red(s[0]), to_red(s[1])
+                            red[b] = True
+                        d, A2, V2 = round_step2(s[0], s[1], rs[j],
+                                                interpret=interp)
+                        q0, q1, q2 = _combine_dots(d[0], d[1], d[2],
+                                                   d[3])
+                        s[0], s[1] = A2, V2
+                        pre_folded[b] = True
+                    elif pallas_v == 1 and m >= 1024 and supported(m):
+                        d, A2, V2 = round_step(s[0], s[1], rs[j],
+                                               interpret=interp)
                         q0, q1, q2 = _combine_dots(d[0], d[1], d[2],
                                                    d[3])
                         s[0], s[1] = A2, V2
                         pre_folded[b] = True
                     else:
+                        to_canon(b)
                         q0, q1, q2 = _quad_coeffs(s[0], s[1])
                     c0, c1, c2 = FR.add(c0, q0), FR.add(c1, q1), \
                         FR.add(c2, q2)
                 elif j == s[2]:
+                    to_canon(b)
                     add = FR.add(add, FR.mul(s[0][0], s[1][0]))
             if inc_add:
                 c0 = FR.add(c0, add)
@@ -112,6 +164,8 @@ def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
         # exhaustion exactly at the end still feeds add_term in the
         # reference's NEXT round; no next round exists, so only the
         # final operand values matter here.
+        for b in (0, 1):
+            to_canon(b)
         finals = jnp.stack([sides[0][0][0], sides[0][1][0],
                             sides[1][0][0], sides[1][1][0]])
         return jnp.stack(polys), finals
