@@ -11,15 +11,27 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CRITICAL: the axon environment routes even XLA:CPU compiles to the
+# remote compile service (PALLAS_AXON_REMOTE_COMPILE=1); the returned
+# AOT binaries target the remote host's CPU (AMX/AVX512 features the
+# local machine lacks) and SIGILL/segfault when this process loads
+# them from the persistent cache.  Force local compiles for tests.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+# zkcnn_tpu/__init__ configures the compile cache from this env var at
+# import time; without it the package would re-point the cache at the
+# axon dir (remote-compiled artifacts) AFTER this file set it.
+os.environ["ZKCNN_TPU_XLA_CACHE"] = "/tmp/zkcnn_tpu_xla_cache_cpu_local"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic composites are
-# compile-heavy; cache them across test processes.
+# compile-heavy; cache them across test processes.  The "_local"
+# suffix separates this dir from caches that may hold remote-compiled
+# artifacts (see above).
 import pathlib
-_cache = pathlib.Path("/tmp/zkcnn_tpu_xla_cache_cpu")
+_cache = pathlib.Path("/tmp/zkcnn_tpu_xla_cache_cpu_local")
 _cache.mkdir(exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

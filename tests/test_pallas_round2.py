@@ -92,7 +92,8 @@ def test_fused_quad_pallas_v2_integration(monkeypatch):
     outs = []
     for v in (0, 2):
         fn = _fused_quad(R, 5, R, True, v)
-        polys, finals = fn(A0, V0, A1, V1, rs, add0)
+        polys, a0, v0, a1, v1, add = fn(A0, V0, A1, V1, rs, add0)
+        finals = jnp.stack([a0[0], v0[0], a1[0], v1[0], add])
         outs.append(([_polys_host(polys)],
                      [FR.from_mont_host(x) for x in np.asarray(finals)]))
     _fused_quad.cache_clear()

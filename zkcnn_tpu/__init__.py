@@ -41,10 +41,14 @@ except Exception:
 
 
 def use_cpu_cache():
-    """Switch the persistent compile cache to the CPU-only directory
-    (call after forcing jax_platforms='cpu')."""
+    """Switch the persistent compile cache to the local-CPU-only
+    directory (call after forcing jax_platforms='cpu').  Also disables
+    the axon remote compile service for this process: remote-compiled
+    XLA:CPU AOT binaries target the remote host's CPU features and
+    SIGILL when loaded locally."""
+    _os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     d = _os.environ.get("ZKCNN_TPU_XLA_CACHE_CPU",
-                        "/tmp/zkcnn_tpu_xla_cache_cpu")
+                        "/tmp/zkcnn_tpu_xla_cache_cpu_local")
     try:
         _os.makedirs(d, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", d)

@@ -116,37 +116,51 @@ class PhaseEngine:
         return polys
 
     def run_all(self, rs):
-        """All rounds at once on device (see fused.py); returns the
-        round polys as host-int triples and leaves the sides in their
-        fully-folded state (subsequent receive() calls are no-ops)."""
+        """All rounds on device in CHUNK-round compiled pieces (see
+        fused.py); returns the round polys as host-int triples and
+        leaves the sides in their fully-folded state (subsequent
+        receive() calls are no-ops)."""
         from .fused import _fused_quad, pack_challenges, _polys_host, \
-            _pallas_version, _fused_enabled
+            _pallas_version, _fused_enabled, CHUNK
         R = len(rs)
         if R == 0:
             return []
         if not _fused_enabled():
             return self._run_all_steps(rs)
+        pv = _pallas_version()
         dummy = jnp.zeros((1, FR.n), jnp.uint32)
-        nbs, args = [], []
+        nbs, arrs = [], []
         for s in self.sides:
             if s is None:
                 nbs.append(-1)
-                args += [dummy, dummy]
+                arrs += [dummy, dummy]
             else:
                 nbs.append(s.nb)
-                args += [s.A, s.V]
-        fn = _fused_quad(R, nbs[0], nbs[1], self.include_add_term,
-                         _pallas_version())
-        polys, finals = fn(*args, pack_challenges(rs),
-                           _pack(self.add_term))
-        f = np.asarray(finals)
+                arrs += [s.A, s.V]
+        add = _pack(self.add_term)
+        rs_dev = pack_challenges(rs)
+        polys = []
+        for start in range(0, R, CHUNK):
+            sub = min(CHUNK, R - start)
+            # nb relative to the chunk; >= sub behaves as "active all
+            # chunk", so clamp for lru-key economy.  A side whose
+            # collapse round fell in an earlier chunk is absent (-1).
+            rel = [-1 if (nb < 0 or nb < start)
+                   else min(nb - start, sub) for nb in nbs]
+            fn = _fused_quad(sub, rel[0], rel[1],
+                             self.include_add_term, pv)
+            p, a0, v0, a1, v1, add = fn(
+                arrs[0], arrs[1], arrs[2], arrs[3],
+                rs_dev[start: start + sub], add)
+            arrs = [a0, v0, a1, v1]
+            polys += _polys_host(p)
         for b, s in enumerate(self.sides):
             if s is not None:
-                s.A = jnp.asarray(f[2 * b: 2 * b + 1])
-                s.V = jnp.asarray(f[2 * b + 1: 2 * b + 2])
+                s.A = arrs[2 * b][:1]
+                s.V = arrs[2 * b + 1][:1]
                 s.folds = s.nb
                 s.collapsed = True
-        return _polys_host(polys)
+        return polys
 
     def final_claim(self, b: int, bit_length: int) -> int:
         """Finalize semantics (reference prover.cpp:459-485): folded
@@ -222,23 +236,28 @@ class DotProdPhase1:
         return polys
 
     def run_all(self, rs):
-        """All rounds at once on device (see fused.py)."""
+        """All rounds on device in CHUNK-round compiled pieces."""
         from .fused import _fused_cubic, pack_challenges, _polys_host, \
-            _use_pallas, _fused_enabled
+            _use_pallas, _fused_enabled, CHUNK
         R = len(rs)
         if R == 0:
             return []
         if not _fused_enabled():
             return self._run_all_steps(rs)
         assert R >= self.fft_bl
-        fn = _fused_cubic(R, self.fft_bl, _use_pallas())
-        polys, finals = fn(self.m, self.V0, self.V1, pack_challenges(rs))
-        f = np.asarray(finals)
-        self.m = jnp.asarray(f[0:1])
-        self.V0 = jnp.asarray(f[1:2])
-        self.V1 = jnp.asarray(f[2:3])
+        up = _use_pallas()
+        rs_dev = pack_challenges(rs)
+        m, V0, V1 = self.m, self.V0, self.V1
+        polys = []
+        for start in range(0, R, CHUNK):
+            sub = min(CHUNK, R - start)
+            fb_rel = max(0, min(self.fft_bl - start, sub))
+            fn = _fused_cubic(sub, fb_rel, up)
+            p, m, V0, V1 = fn(m, V0, V1, rs_dev[start: start + sub])
+            polys += _polys_host(p)
+        self.m, self.V0, self.V1 = m[:1], V0[:1], V1[:1]
         self.folds = R
-        return _polys_host(polys)
+        return polys
 
     def finalize(self):
         """-> (claim_1, V_u1) (reference prover.cpp:146-153)."""

@@ -81,10 +81,16 @@ def _quad_coeffs(A, V):
     return _combine_dots(d[0], d[1], d[2], d[3])
 
 
+CHUNK = 8   # rounds per compiled program: bounds compile time/size
+            # (full-phase programs crash the local XLA:CPU compiler
+            # and take minutes on the tunnel); state flows on device
+
+
 @lru_cache(maxsize=256)
 def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
                 pallas_v: int):
-    """All R rounds of a (<=2)-side quadratic phase in one program.
+    """One CHUNK of rounds of a (<=2)-side quadratic phase as a single
+    program; engine.run_all chains chunks with device-resident state.
 
     Side b participates in rounds 0..nb_b-1; at round nb_b its folded
     scalar product collapses into add_term (engine.py exhaustion
@@ -161,25 +167,24 @@ def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
                     s[0], s[1] = st[0], st[1]
             if inc_add:
                 add = FR.mul(add, FR.sub(jnp.asarray(FR.one_mont), r))
-        # exhaustion exactly at the end still feeds add_term in the
-        # reference's NEXT round; no next round exists, so only the
-        # final operand values matter here.
+        # canonical form at the chunk boundary (uniform interface; the
+        # next chunk re-enters RED form if its rounds are still large)
         for b in (0, 1):
             to_canon(b)
-        finals = jnp.stack([sides[0][0][0], sides[0][1][0],
-                            sides[1][0][0], sides[1][1][0]])
-        return jnp.stack(polys), finals
+        return (jnp.stack(polys), sides[0][0], sides[0][1],
+                sides[1][0], sides[1][1], add)
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=64)
 def _fused_cubic(R: int, fft_bl: int, use_pallas: bool):
-    """All R rounds of the DOT_PROD cubic phase 1 (engine.DotProdPhase1;
-    reference sumcheckDotProdUpdate1, src/prover.cpp:103-144)."""
+    """One CHUNK of rounds of the DOT_PROD cubic phase 1
+    (engine.DotProdPhase1; reference sumcheckDotProdUpdate1,
+    src/prover.cpp:103-144); engine.run_all chains chunks.  fft_bl is
+    RELATIVE to this chunk (rounds below it fold the m factor)."""
     from .engine import _cubic_terms
-    from ..field.pallas_round import round_step, supported, \
-        cubic_round_step, cubic_supported
+    from ..field.pallas_round import cubic_round_step, cubic_supported
 
     def run(m, V0, V1, rs):
         polys = []
@@ -194,14 +199,11 @@ def _fused_cubic(R: int, fft_bl: int, use_pallas: bool):
                 else:
                     c0, c1, c2, c3 = _cubic_terms(m, V1, V0)
             else:
+                # tail rounds past the fft variables are small (the
+                # count dims); the XLA kernels are fine and avoid the
+                # v1 kernel's slow per-shape Mosaic compile
                 m0 = m[0]
-                if use_pallas and K >= 1024 and supported(K):
-                    d, V1n, V0n = round_step(V1, V0, rs[j])
-                    q0, q1, q2 = _combine_dots(d[0], d[1], d[2], d[3])
-                    V1, V0 = V1n, V0n
-                    pre_folded = True
-                else:
-                    q0, q1, q2 = _quad_coeffs(V1, V0)
+                q0, q1, q2 = _quad_coeffs(V1, V0)
                 c0, c1, c2 = FR.mul(m0, q0), FR.mul(m0, q1), \
                     FR.mul(m0, q2)
                 c3 = jnp.zeros(FR.n, jnp.uint32)
@@ -212,8 +214,7 @@ def _fused_cubic(R: int, fft_bl: int, use_pallas: bool):
                     m = fold(m, r)
                 st = fold(jnp.stack([V0, V1]), r)
                 V0, V1 = st[0], st[1]
-        finals = jnp.stack([m[0], V0[0], V1[0]])
-        return jnp.stack(polys), finals
+        return jnp.stack(polys), m, V0, V1
 
     return jax.jit(run)
 
