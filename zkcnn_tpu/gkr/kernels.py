@@ -1,0 +1,224 @@
+"""Jitted, shape-bucketed kernels for the per-layer sumcheck inits and
+the verifier's predicate evaluations.
+
+The original method bodies (prover.sumcheck_init_phase1/2, verifier
+predicate phases) were eager op-by-op glue: every FR.mul / gather /
+dot dispatched as its own tiny program with layer-unique gate-count
+shapes, so a warm proof still paid one tunnel compile per op per layer
+(~100-240 s/layer measured on v5e).  Here each logical step is ONE
+jitted function, and gate tensors are padded to power-of-two buckets
+(prover._gate_dev) so signatures repeat across layers, models, and
+runs (persistent cache).
+
+Padding contract: pad rows have EVERY index column set to a large
+sentinel.  Gathers clamp in jit (garbage but safe); scatter targets
+are out of range so jax.ops.segment_sum DROPS them (verified
+semantics); contributions that feed straight into dots are masked via
+the device scalar n_valid.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import FR
+from ..field.ops import segment_sum_field
+from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
+    BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
+
+PAD_SENTINEL = 1 << 30
+
+
+def pad_pow2(arr, sentinel: int = PAD_SENTINEL):
+    """Pad a [G, k] gate tensor to the next power of two rows with
+    sentinel rows (see module docstring)."""
+    g = arr.shape[0]
+    if g == 0:
+        return arr
+    m = 1 << (g - 1).bit_length()
+    if m == g:
+        return arr
+    pad = np.full((m - g,) + arr.shape[1:], sentinel, arr.dtype)
+    return np.concatenate([arr, pad])
+
+
+def _valid_mask(n_rows: int, n_valid):
+    return (jnp.arange(n_rows) < n_valid)[:, None]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def p1_mult(total: int, sc0_flags, bg, tm, uni, bin_v0, bin_v1,
+            ori_v, val0, prev):
+    """Phase-1 mult_array for one u-side (reference prover.cpp:224-233):
+    mult[u] += beta_g[g]*two_mul[sc] (uni) and += beta_g[g]*V_v*tm[sc]
+    (bin), via one exact modular segment sum.  sc0_flags: static
+    (uni_sc0, b_v0_sc0, b_v1_sc0).  Pads drop via OOB segment ids."""
+    parts, segs = [], []
+    if uni.shape[0]:
+        c = bg[jnp.clip(uni[:, UNI_G], 0, bg.shape[0] - 1)]
+        if not sc0_flags[0]:
+            c = FR.mul(c, tm[jnp.clip(uni[:, UNI_SC], 0,
+                                      tm.shape[0] - 1)])
+        parts.append(c)
+        segs.append(uni[:, UNI_U])
+    for vb, gates in ((0, bin_v0), (1, bin_v1)):
+        if gates.shape[0]:
+            if vb == 0:
+                vi = jnp.clip(gates[:, BIN_V], 0, ori_v.shape[0] - 1)
+                vals = val0[jnp.clip(ori_v[vi], 0, val0.shape[0] - 1)]
+            else:
+                vals = prev[jnp.clip(gates[:, BIN_V], 0,
+                                     prev.shape[0] - 1)]
+            c = FR.mul(vals, bg[jnp.clip(gates[:, BIN_G], 0,
+                                         bg.shape[0] - 1)])
+            if not sc0_flags[1 + vb]:
+                c = FR.mul(c, tm[jnp.clip(gates[:, BIN_SC], 0,
+                                          tm.shape[0] - 1)])
+            parts.append(c)
+            segs.append(gates[:, BIN_U])
+    if not parts:
+        return jnp.zeros((total, FR.n), jnp.uint32)
+    vals = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    seg = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+    return segment_sum_field(vals, seg, total)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def gather_pad(total: int, ori, val0):
+    """V-operand for an input-subset side: val0[ori], zero-padded to
+    total rows (reference getCirValue at lu==0, prover.cpp:499-501)."""
+    V = val0[jnp.clip(ori, 0, val0.shape[0] - 1)]
+    if V.shape[0] < total:
+        V = jnp.pad(V, ((0, total - V.shape[0]), (0, 0)))
+    return V[:total]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def p2_mult(total: int, sc0_flags, bg, beta_u, tm, bin_u0, bin_u1,
+            vu0, vu1):
+    """Phase-2 mult_array for one v-side (reference prover.cpp:286-305):
+    mult[v] += beta_g[g]*beta_u[u]*V_u[ub]*tm[sc]."""
+    parts, segs = [], []
+    vus = (vu0, vu1)
+    for ub, gates in ((0, bin_u0), (1, bin_u1)):
+        if gates.shape[0]:
+            c = FR.mul(bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)],
+                       beta_u[jnp.clip(gates[:, BIN_U], 0,
+                                       beta_u.shape[0] - 1)])
+            if not sc0_flags[ub]:
+                c = FR.mul(c, tm[jnp.clip(gates[:, BIN_SC], 0,
+                                          tm.shape[0] - 1)])
+            c = FR.mul(c, jnp.broadcast_to(vus[ub], c.shape))
+            parts.append(c)
+            segs.append(gates[:, BIN_V])
+    if not parts:
+        return jnp.zeros((total, FR.n), jnp.uint32)
+    vals = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    seg = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+    return segment_sum_field(vals, seg, total)
+
+
+@jax.jit
+def p2_uni_add_term(bg, beta_u, tm, uni, n_valid, vu):
+    """Phase-2 uni-gate contribution to add_term (prover.cpp:286-291):
+    sum_g beta_g[g]*beta_u[u]*tm[sc]*V_u.  Dot path -> mask pads."""
+    c = FR.mul(bg[jnp.clip(uni[:, UNI_G], 0, bg.shape[0] - 1)],
+               beta_u[jnp.clip(uni[:, UNI_U], 0, beta_u.shape[0] - 1)])
+    c = FR.mul(c, tm[jnp.clip(uni[:, UNI_SC], 0, tm.shape[0] - 1)])
+    c = jnp.where(_valid_mask(c.shape[0], n_valid), c,
+                  jnp.zeros_like(c))
+    c = FR.mul(c, jnp.broadcast_to(vu, c.shape))
+    return FR.sum(c, axis=-2)
+
+
+@jax.jit
+def zero_region_scale(bg, rr, zero_start):
+    """Scale the >= zero_start region by relu_rou (prover.cpp:221-222,
+    verifier.cpp:76-78); zero_start is a device scalar."""
+    mask = jnp.arange(bg.shape[0]) >= zero_start
+    scaled = FR.mul(bg, jnp.broadcast_to(rr, bg.shape))
+    return jnp.where(mask[:, None], scaled, bg)
+
+
+@jax.jit
+def mul_outer_flat(a, b):
+    """[A, n] x [B, n] -> [A*B, n] products (PADDING beta cross table,
+    prover.cpp:214-219 / verifier.cpp:81-88)."""
+    return FR.mul(a[:, None, :], b[None, :, :]).reshape(
+        a.shape[0] * b.shape[0], FR.n)
+
+
+@jax.jit
+def contract_counts(prev, bg):
+    """FFT/IFFT phase-1 V: contract count dims (prover.cpp:185-197):
+    prev [cnt, L, n] dot bg [cnt, n] over cnt -> [L, n]."""
+    return FR.dot_mont(prev, bg[:, None, :], axis=0)
+
+
+@jax.jit
+def pred_uni(bg, beta_u, tm, uni, n_valid):
+    """Verifier predicatePhase1 uni term (verifier.cpp:89-102):
+    sum beta_g[g]*tm[sc]*beta_u[u].  Dot path -> mask pads."""
+    c = FR.mul(bg[jnp.clip(uni[:, UNI_G], 0, bg.shape[0] - 1)],
+               tm[jnp.clip(uni[:, UNI_SC], 0, tm.shape[0] - 1)])
+    c = jnp.where(_valid_mask(c.shape[0], n_valid), c,
+                  jnp.zeros_like(c))
+    return FR.dot_mont(c, beta_u[jnp.clip(uni[:, UNI_U], 0,
+                                          beta_u.shape[0] - 1)])
+
+
+@partial(jax.jit, static_argnums=(0,))
+def pred_bin(use_tm: bool, bg, beta_u, beta_v, tm, gates, n_valid):
+    """Verifier predicatePhase2 bin term for one (ub, vb, l) gate group
+    (verifier.cpp:104-116): sum beta_g[g]*beta_u[u]*tm[sc]*beta_v[v]."""
+    c = FR.mul(bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)],
+               beta_u[jnp.clip(gates[:, BIN_U], 0, beta_u.shape[0] - 1)])
+    if use_tm:
+        c = FR.mul(c, tm[jnp.clip(gates[:, BIN_SC], 0, tm.shape[0] - 1)])
+    c = jnp.where(_valid_mask(c.shape[0], n_valid), c,
+                  jnp.zeros_like(c))
+    return FR.dot_mont(c, beta_v[jnp.clip(gates[:, BIN_V], 0,
+                                          beta_v.shape[0] - 1)])
+
+
+@jax.jit
+def gr_term(beta_g, ori, bu, n_valid):
+    """Liu-phase subset predicate term (verifier.cpp:307-333):
+    sum_j beta_g[ori[j]] * bu[j] over the valid prefix."""
+    c = beta_g[jnp.clip(ori, 0, beta_g.shape[0] - 1)]
+    c = jnp.where(_valid_mask(c.shape[0], n_valid), c,
+                  jnp.zeros_like(c))
+    b = bu[jnp.clip(jnp.arange(ori.shape[0]), 0, bu.shape[0] - 1)]
+    return FR.dot_mont(c, b)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def dotprod_p1_V0_gates(bg, prev_rows, gates, total_rows: int):
+    """DOT_PROD phase-1 per-gate V0 build (prover.cpp:57-101 fallback
+    when no structural dims): V0[u*L+t] += beta_g[g] * prev[v*L+t]."""
+    L = prev_rows.shape[1]
+    coef = bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)]
+    rows = prev_rows[jnp.clip(gates[:, BIN_V], 0,
+                              prev_rows.shape[0] - 1)]
+    contrib = FR.mul(coef[:, None, :], rows)
+    # clamp pad sentinels BEFORE the multiply (sentinel * L would wrap
+    # int32); clamped pads land exactly at total_rows -> OOB, dropped
+    u = jnp.minimum(gates[:, BIN_U], total_rows // L)
+    seg = u[:, None] * L + jnp.arange(L)[None, :]
+    return segment_sum_field(contrib.reshape(-1, FR.n),
+                             seg.reshape(-1), total_rows)
+
+
+@jax.jit
+def dotprod_p2_mult(bg, beta_u, vu1, gates, total_dummy, prev, beta_gs):
+    """DOT_PROD phase-2 (prover.cpp:272-305): V1 = contract prev rows
+    with the fft beta table; mult1[v] += beta_g[g]*beta_u[u]*V_u1."""
+    V1 = FR.dot_mont(prev, beta_gs[None, :, :], axis=1)
+    c = FR.mul(FR.mul(bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)],
+                      beta_u[jnp.clip(gates[:, BIN_U], 0,
+                                      beta_u.shape[0] - 1)]),
+               jnp.broadcast_to(vu1, (gates.shape[0], FR.n)))
+    mult1 = segment_sum_field(c, gates[:, BIN_V], total_dummy.shape[0])
+    return mult1, V1

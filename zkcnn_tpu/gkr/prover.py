@@ -31,6 +31,10 @@ from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
     BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
 from ..mle import beta_table, beta_table_2pt, phi_table
 from .engine import Side, PhaseEngine, DotProdPhase1, _host, _pack
+from .kernels import (pad_pow2, p1_mult, p2_mult, p2_uni_add_term,
+                      gather_pad, zero_region_scale, mul_outer_flat,
+                      contract_counts, dotprod_p1_V0_gates,
+                      dotprod_p2_mult)
 
 F_BYTE_SIZE = 32
 
@@ -89,30 +93,40 @@ class Prover:
     # phase 1 inits
 
     def _gate_dev(self, layer: Layer):
-        """Cache device copies of the gate tensors, split by source."""
+        """Cache device copies of the gate tensors, split by source and
+        padded to power-of-two buckets (kernels.py padding contract:
+        sentinel index rows, per-class valid counts in "<key>_n")."""
         if not hasattr(layer, "_dev_cache"):
             uni, bi = layer.uni, layer.bin
-            cache = {
-                "uni0": _dev(uni[uni[:, UNI_LU] == 0]),
-                "uni1": _dev(uni[uni[:, UNI_LU] != 0]),
-            }
+            cache = {}
+
+            def put(key, arr):
+                cache[key] = _dev(pad_pow2(arr))
+                cache[key + "_n"] = jnp.asarray(arr.shape[0])
+
+            put("uni0", uni[uni[:, UNI_LU] == 0])
+            put("uni1", uni[uni[:, UNI_LU] != 0])
             u_in = bi[:, BIN_L] == 0
             v_in = (bi[:, BIN_L] & 1) == 0
             for ub in (0, 1):
                 for vb in (0, 1):
                     m = (u_in if ub == 0 else ~u_in) & \
                         (v_in if vb == 0 else ~v_in)
-                    cache[f"bin{ub}{vb}"] = _dev(bi[m])
+                    put(f"bin{ub}{vb}", bi[m])
                     cache[f"bin{ub}{vb}_sc0"] = bool(
                         (bi[m][:, BIN_SC] == 0).all())
+                    # verifier predicate groups by source-layer code l
+                    for lv in np.unique(bi[m][:, BIN_L]):
+                        put(f"bin{ub}{vb}_l{int(lv)}",
+                            bi[m][bi[m][:, BIN_L] == lv])
             cache["uni0_sc0"] = bool(
-        (uni[uni[:, UNI_LU] == 0][:, UNI_SC] == 0).all())
+                (uni[uni[:, UNI_LU] == 0][:, UNI_SC] == 0).all())
             cache["uni1_sc0"] = bool(
-        (uni[uni[:, UNI_LU] != 0][:, UNI_SC] == 0).all())
-            cache["ori_u"] = _dev(layer.ori_id_u) if layer.ori_id_u is not None \
-                else None
-            cache["ori_v"] = _dev(layer.ori_id_v) if layer.ori_id_v is not None \
-                else None
+                (uni[uni[:, UNI_LU] != 0][:, UNI_SC] == 0).all())
+            cache["ori_u"] = _dev(layer.ori_id_u) \
+                if layer.ori_id_u is not None else None
+            cache["ori_v"] = _dev(layer.ori_id_v) \
+                if layer.ori_id_v is not None else None
             layer._dev_cache = cache
         return layer._dev_cache
 
@@ -159,8 +173,7 @@ class Prover:
             eqf = beta_table(self.r_0[:fblh], 1)
             cnt = self.beta_g                     # stale table from FFT
             n_cnt = 1 << (cur.bit_length - fblh)
-            bg = FR.mul(cnt[:n_cnt, None, :], eqf[None, :, :]).reshape(
-                1 << cur.bit_length, FR.n)
+            bg = mul_outer_flat(cnt[:n_cnt], eqf)
         else:
             a = self.alpha * cur.scale % FR_P
             b = self.beta * cur.scale % FR_P
@@ -168,13 +181,12 @@ class Prover:
                                 self.r_1[:cur.bit_length] if self.r_1
                                 else None, a, b)
         if cur.zero_start_id < cur.size:
-            rr = _pack(relu_rou)
-            mask = (np.arange(1 << cur.bit_length)
-                    >= cur.zero_start_id)
-            scaled = FR.mul(bg, jnp.broadcast_to(rr, bg.shape))
-            bg = jnp.where(jnp.asarray(mask)[:, None], scaled, bg)
+            bg = zero_region_scale(bg, _pack(relu_rou),
+                                   jnp.asarray(cur.zero_start_id))
         self.beta_g = bg
 
+        val0 = self.val[0]
+        prev = self.val[lid - 1]
         sides: List[Optional[Side]] = [None, None]
         for b in (0, 1):
             bl = cur.bit_length_u[b]
@@ -182,36 +194,18 @@ class Prover:
                 sides[b] = None
                 continue
             total = 1 << bl
-            parts, segs = [], []
-            uni = cache["uni0"] if b == 0 else cache["uni1"]
-            if uni.shape[0]:
-                c = bg[uni[:, UNI_G]]
-                if not cache[f"uni{b}_sc0"]:
-                    c = FR.mul(c, self.tm[uni[:, UNI_SC]])
-                parts.append(c)
-                segs.append(uni[:, UNI_U])
-            for vb in (0, 1):
-                gates = cache[f"bin{b}{vb}"]
-                if gates.shape[0]:
-                    vals = self._v_source(cache, vb, gates, lid)
-                    c = FR.mul(vals, bg[gates[:, BIN_G]])
-                    if not cache[f"bin{b}{vb}_sc0"]:
-                        c = FR.mul(c, self.tm[gates[:, BIN_SC]])
-                    parts.append(c)
-                    segs.append(gates[:, BIN_U])
-            if parts:
-                mult = segment_sum_field(
-                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
-                    jnp.concatenate(segs) if len(segs) > 1 else segs[0],
-                    total)
-            else:
-                mult = jnp.zeros((total, FR.n), jnp.uint32)
+            flags = (cache[f"uni{b}_sc0"], cache[f"bin{b}0_sc0"],
+                     cache[f"bin{b}1_sc0"])
+            ori_v = cache["ori_v"]
+            mult = p1_mult(total, flags, bg, self.tm,
+                           cache[f"uni{b}"], cache[f"bin{b}0"],
+                           cache[f"bin{b}1"],
+                           ori_v if ori_v is not None else
+                           jnp.zeros((1,), jnp.int64), val0, prev)
             if b == 0:
-                V = self.val[0][cache["ori_u"]]
-                if V.shape[0] < total:
-                    V = jnp.pad(V, ((0, total - V.shape[0]), (0, 0)))
+                V = gather_pad(total, cache["ori_u"], val0)
             else:
-                V = self.val[lid - 1][:total]
+                V = prev[:total]
             sides[b] = Side(mult, V, bl)
         self.phase = PhaseEngine(sides)
 
@@ -246,13 +240,7 @@ class Prover:
             gates = cache["bin11"]        # all DOT_PROD gates have l=1
             # V0[u<<fft_bl|t] += beta_g[g] * prev[v<<fft_bl|t]
             rows = prev[: (1 << nb1)].reshape(-1, L, FR.n)
-            coef = self.beta_g[gates[:, BIN_G]]
-            contrib = FR.mul(coef[:, None, :], rows[gates[:, BIN_V]])
-            V0 = segment_sum_field(contrib.reshape(-1, FR.n),
-                                   jnp.repeat(gates[:, BIN_U], L) * L
-                                   + jnp.tile(jnp.arange(L),
-                                              gates.shape[0]),
-                                   1 << nb1)
+            V0 = dotprod_p1_V0_gates(self.beta_g, rows, gates, 1 << nb1)
         V1 = prev[: 1 << nb1]
         self.phase = DotProdPhase1(beta_gs, V0, V1, fft_bl, nb1)
 
@@ -346,13 +334,9 @@ class Prover:
             nb1 = cur.bit_length_v[1]
             prev = self.val[lid - 1][: 1 << cur.bit_length_u[1]].reshape(
                 -1, L, FR.n)
-            V1 = FR.dot_mont(prev, beta_gs[None, :, :], axis=1)
-            gates = cache["bin11"]
-            vu1 = _pack(self.V_u1)
-            c = FR.mul(FR.mul(self.beta_g[gates[:, BIN_G]],
-                              beta_u[gates[:, BIN_U]]),
-                       jnp.broadcast_to(vu1, (gates.shape[0], FR.n)))
-            mult1 = segment_sum_field(c, gates[:, BIN_V], 1 << nb1)
+            mult1, V1 = dotprod_p2_mult(
+                self.beta_g, beta_u, _pack(self.V_u1), cache["bin11"],
+                jnp.zeros(1 << nb1, jnp.uint32), prev, beta_gs)
             self.phase = PhaseEngine([None, Side(mult1, V1[: 1 << nb1],
                                                  nb1)])
             return
@@ -360,46 +344,30 @@ class Prover:
         beta_u = beta_table(r_u[:cur.max_bl_u], 1)
         add_term = 0
         # uni gates: beta_g[g]*beta_u[u]*V_u*tm[sc] summed into add_term
-        vus = jnp.stack([_pack(self.V_u0), _pack(self.V_u1)])
+        vus = (_pack(self.V_u0), _pack(self.V_u1))
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
-                c = FR.mul(FR.mul(self.beta_g[uni[:, UNI_G]],
-                                  beta_u[uni[:, UNI_U]]),
-                           self.tm[uni[:, UNI_SC]])
-                c = FR.mul(c, jnp.broadcast_to(vus[b], c.shape))
-                add_term = (add_term + _host(FR.sum(c, axis=-2))) % FR_P
+                t = p2_uni_add_term(self.beta_g, beta_u, self.tm, uni,
+                                    cache[key + "_n"], vus[b])
+                add_term = (add_term + _host(t)) % FR_P
 
+        val0 = self.val[0]
+        prev = self.val[lid - 1]
         sides: List[Optional[Side]] = [None, None]
         for vb in (0, 1):
             bl = cur.bit_length_v[vb]
             if bl < 0:
                 continue
             total = 1 << bl
-            parts, segs = [], []
-            for ub in (0, 1):
-                gates = cache[f"bin{ub}{vb}"]
-                if gates.shape[0]:
-                    c = FR.mul(self.beta_g[gates[:, BIN_G]],
-                               beta_u[gates[:, BIN_U]])
-                    if not cache[f"bin{ub}{vb}_sc0"]:
-                        c = FR.mul(c, self.tm[gates[:, BIN_SC]])
-                    c = FR.mul_scalar(c, vus[ub])
-                    parts.append(c)
-                    segs.append(gates[:, BIN_V])
-            if parts:
-                mult = segment_sum_field(
-                    jnp.concatenate(parts) if len(parts) > 1 else parts[0],
-                    jnp.concatenate(segs) if len(segs) > 1 else segs[0],
-                    total)
-            else:
-                mult = jnp.zeros((total, FR.n), jnp.uint32)
+            flags = (cache[f"bin0{vb}_sc0"], cache[f"bin1{vb}_sc0"])
+            mult = p2_mult(total, flags, self.beta_g, beta_u, self.tm,
+                           cache[f"bin0{vb}"], cache[f"bin1{vb}"],
+                           vus[0], vus[1])
             if vb == 0:
-                V = self.val[0][cache["ori_v"]]
-                if V.shape[0] < total:
-                    V = jnp.pad(V, ((0, total - V.shape[0]), (0, 0)))
+                V = gather_pad(total, cache["ori_v"], val0)
             else:
-                V = self.val[lid - 1][:total]
+                V = prev[:total]
             sides[vb] = Side(mult, V, bl)
         self.phase = PhaseEngine(sides, add_term=add_term)
 

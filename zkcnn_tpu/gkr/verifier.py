@@ -25,7 +25,9 @@ from ..circuit.eval import two_mul_table
 from ..circuit.ir import UNI_G, UNI_U, UNI_SC, BIN_G, BIN_U, BIN_V, \
     BIN_SC, BIN_L
 from ..mle import beta_table, beta_table_2pt, phi_table
-from .engine import _host
+from .engine import _host, _pack
+from .kernels import (pred_uni, pred_bin, zero_region_scale,
+                      mul_outer_flat, gr_term)
 from .prover import Prover
 from .tape import Tape
 
@@ -83,8 +85,7 @@ class Verifier:
                 self.r_v[depth + 2][:bl - fblh]
                 if self.r_v[depth + 2] else None, alpha, beta)
             eqf = beta_table(r_0[:fblh], 1)
-            self.beta_g = FR.mul(cnt[:, None, :], eqf[None, :, :]).reshape(
-                1 << bl, FR.n)
+            self.beta_g = mul_outer_flat(cnt, eqf)
             self.beta_u = beta_table(self.r_u[depth][:cur.max_bl_u], 1)
             return
         if cur.ty == LayerType.DOT_PROD:
@@ -105,10 +106,8 @@ class Verifier:
         b = beta * cur.scale % FR_P
         bg = beta_table_2pt(r_0[:bl], r_1[:bl] if r_1 else None, a, b)
         if cur.zero_start_id < cur.size:
-            rr = jnp.asarray(FR.to_mont_host(relu_rou))
-            mask = np.arange(1 << bl) >= cur.zero_start_id
-            bg = jnp.where(jnp.asarray(mask)[:, None],
-                           FR.mul(bg, jnp.broadcast_to(rr, bg.shape)), bg)
+            bg = zero_region_scale(bg, _pack(relu_rou),
+                                   jnp.asarray(cur.zero_start_id))
         self.beta_g = bg
         self.beta_u = beta_table(self.r_u[depth][:cur.max_bl_u], 1)
 
@@ -123,10 +122,9 @@ class Verifier:
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
-                c = FR.mul(self.beta_g[uni[:, UNI_G]],
-                           self.tm[uni[:, UNI_SC]])
-                self.uni_value[b] = _host(
-                    FR.dot_mont(c, self.beta_u[uni[:, UNI_U]]))
+                self.uni_value[b] = _host(pred_uni(
+                    self.beta_g, self.beta_u, self.tm, uni,
+                    cache[key + "_n"]))
 
     def _predicate_phase2(self, depth):
         cur = self.C.layers[depth]
@@ -135,24 +133,22 @@ class Verifier:
         bv0 = _host(beta_v[0])
         self.uni_value[0] = self.uni_value[0] * bv0 % FR_P
         self.uni_value[1] = self.uni_value[1] * bv0 % FR_P
+        use_tm = cur.ty != LayerType.DOT_PROD
         for ub in (0, 1):
             for vb in (0, 1):
-                gates = cache[f"bin{ub}{vb}"]
-                if not gates.shape[0]:
+                if not cache[f"bin{ub}{vb}"].shape[0]:
                     continue
-                c = FR.mul(self.beta_g[gates[:, BIN_G]],
-                           self.beta_u[gates[:, BIN_U]])
-                if cur.ty != LayerType.DOT_PROD:
-                    c = FR.mul(c, self.tm[gates[:, BIN_SC]])
-                # accumulate per l value present in this group
-                ls = np.asarray(gates[:, BIN_L])
-                bv = beta_v[gates[:, BIN_V]]
-                for l in np.unique(ls):
-                    m = jnp.asarray(ls == l)
-                    sel = jnp.where(m[:, None], c, jnp.zeros_like(c))
+                # per-l gate groups were split at _gate_dev time
+                for l in (0, 1, 2, 3):
+                    key = f"bin{ub}{vb}_l{l}"
+                    if key not in cache:
+                        continue
                     self.bin_value[int(l)] = (
                         self.bin_value[int(l)]
-                        + _host(FR.dot_mont(sel, bv))) % FR_P
+                        + _host(pred_bin(use_tm, self.beta_g,
+                                         self.beta_u, beta_v, self.tm,
+                                         cache[key],
+                                         cache[key + "_n"]))) % FR_P
 
     # ------------------------------------------------------------------
 
@@ -342,13 +338,15 @@ class Verifier:
             if ly.bit_length_u[0] >= 0:
                 bu = beta_table(self.r_u[i][:ly.bit_length_u[0]],
                                 sig_u[i - 1])
-                gr = (gr + _host(FR.dot_mont(
-                    beta_g[cache["ori_u"]], bu[:ly.size_u[0]]))) % FR_P
+                gr = (gr + _host(gr_term(
+                    beta_g, cache["ori_u"], bu,
+                    jnp.asarray(ly.size_u[0])))) % FR_P
             if ly.bit_length_v[0] >= 0:
                 bv = beta_table(self.r_v[i][:ly.bit_length_v[0]],
                                 sig_v[i - 1])
-                gr = (gr + _host(FR.dot_mont(
-                    beta_g[cache["ori_v"]], bv[:ly.size_v[0]]))) % FR_P
+                gr = (gr + _host(gr_term(
+                    beta_g, cache["ori_v"], bv,
+                    jnp.asarray(ly.size_v[0])))) % FR_P
 
         if self.eval_in * gr % FR_P != previous_sum:
             self.log("FAIL liu semifinal")
