@@ -56,14 +56,21 @@ def _eval_gates(val0, val_prev, uni, bin_, tm, scale_pack, out_pow2: int):
 
 def eval_normal_layer(layer: Layer, val0, val_prev):
     """calcNormalLayer (reference src/neuralNetwork.cpp:918-935); output
-    padded to 2^bit_length."""
+    padded to 2^bit_length.
+
+    Gate tensors are padded to power-of-two buckets (kernels.py
+    padding contract: sentinel rows scatter out of range and are
+    dropped) so the jitted program's signature repeats across layers
+    and models."""
+    from ..gkr.kernels import pad_pow2
     out_pow2 = 1 << max(layer.bit_length, 0)
     tm = two_mul_table()
     scale_pack = jnp.asarray(FR.to_mont_host(layer.scale))
     if val_prev is None:
         val_prev = val0[:1]  # unused placeholder
     return _eval_gates(val0, val_prev,
-                       jnp.asarray(layer.uni), jnp.asarray(layer.bin),
+                       jnp.asarray(pad_pow2(layer.uni)),
+                       jnp.asarray(pad_pow2(layer.bin)),
                        tm, scale_pack, out_pow2)
 
 
