@@ -20,7 +20,9 @@ os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 # zkcnn_tpu/__init__ configures the compile cache from this env var at
 # import time; without it the package would re-point the cache at the
 # axon dir (remote-compiled artifacts) AFTER this file set it.
-os.environ["ZKCNN_TPU_XLA_CACHE"] = "/tmp/zkcnn_tpu_xla_cache_cpu_local"
+os.environ["ZKCNN_TPU_XLA_CACHE"] = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_cache", "cpu_local")
 
 import jax  # noqa: E402
 

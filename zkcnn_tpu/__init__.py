@@ -30,14 +30,48 @@ import jax as _jax
 # machine's CPU (different ISA features); loading those from a pure-CPU
 # process SIGILLs. Processes that force the CPU backend must call
 # use_cpu_cache() (tests/conftest.py and the CLI --cpu flag do).
+#
+# The cache lives INSIDE the repo (survives /tmp wipes between driver
+# rounds) and the min-compile-time threshold is 0: over the axon tunnel
+# even a trivial jit(multiply) costs ~0.4s of remote-compile RPC (a
+# local compile would be ~10ms, under the default 0.5s threshold and
+# thus never persisted -- which made every "warm" run recompile
+# thousands of tiny eager-op programs and was the round-1 latency
+# floor: results/lenet_pic1_tpu_warm2.log per-layer 20-257s).
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 _cache_dir = _os.environ.get("ZKCNN_TPU_XLA_CACHE",
-                             "/tmp/zkcnn_tpu_xla_cache_axon")
+                             _os.path.join(_repo_root, ".xla_cache",
+                                           "axon"))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
+
+
+def start_tunnel_warmup():
+    """Pay the axon tunnel's one-time device->host channel setup
+    (~70s, measured) in a background thread, concurrent with circuit
+    building / tracing.  No-op off-TPU.  Returns the thread (join it
+    before timing anything transfer-sensitive)."""
+    import threading
+
+    def _warm():
+        try:
+            import jax as j
+            import jax.numpy as jn
+            import numpy as n
+            if j.default_backend() != "tpu":
+                return
+            n.asarray(jn.zeros((8,), jn.uint32) + n.uint32(1))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_warm, daemon=True)
+    t.start()
+    return t
 
 
 def use_cpu_cache():
@@ -48,7 +82,8 @@ def use_cpu_cache():
     SIGILL when loaded locally."""
     _os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     d = _os.environ.get("ZKCNN_TPU_XLA_CACHE_CPU",
-                        "/tmp/zkcnn_tpu_xla_cache_cpu_local")
+                        _os.path.join(_repo_root, ".xla_cache",
+                                      "cpu_local"))
     try:
         _os.makedirs(d, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", d)

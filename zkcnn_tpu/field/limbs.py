@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 from .params import LIMB_BITS, LIMB_MASK, n_limbs_for, to_limbs, from_limbs
 
-_MASK = jnp.uint32(LIMB_MASK)
+# numpy (host) constant, NOT jnp: a module-level device scalar would be
+# captured as a jax.Array constant in every traced function that uses
+# it, and MLIR lowering then fetches it device->host -- over the axon
+# tunnel the first such fetch costs ~70s per process (measured).
+_MASK = np.uint32(LIMB_MASK)
 
 
 def ml_bfloat16():
@@ -45,7 +49,7 @@ def add_base16(a, b, extra_one: bool = False):
     """
     s = a + b
     if extra_one:
-        s = s.at[..., 0].add(jnp.uint32(1))
+        s = s.at[..., 0].add(np.uint32(1))
     g = (s >> LIMB_BITS).astype(jnp.uint32)
     p = ((s & _MASK) == _MASK).astype(jnp.uint32)
     gp = g | (p << 1)
@@ -124,8 +128,8 @@ def _shift_matrix8(na8: int, nb8: int, out8: int):
 
 def _split8(a):
     """[..., n] 16-bit limbs -> [..., 2n] 8-bit planes (base 256)."""
-    lo = a & jnp.uint32(0xFF)
-    hi = (a >> 8) & jnp.uint32(0xFF)
+    lo = a & np.uint32(0xFF)
+    hi = (a >> 8) & np.uint32(0xFF)
     return jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1],
                                                 a.shape[-1] * 2)
 
@@ -166,7 +170,7 @@ def _mul_cols_bf16(a, b, out_len: int):
     na8, nb8 = a8.shape[-1], b8.shape[-1]
     out8 = 2 * out_len
     prods = a8[..., :, None] * b8[..., None, :]            # < 2^16
-    lo = (prods & jnp.uint32(0xFF)).astype(jnp.bfloat16)
+    lo = (prods & np.uint32(0xFF)).astype(jnp.bfloat16)
     hi = (prods >> 8).astype(jnp.bfloat16)
     flat = jnp.concatenate(
         [lo.reshape(*a8.shape[:-1], na8 * nb8),
@@ -364,8 +368,8 @@ class Field:
         out8 = 2 * n8
         # m = (t mod R) * p' mod R, fed as three 8-bit digit planes of
         # the base-2^8 columns (values < 2^23 -> 3 planes)
-        u0 = t8 & jnp.uint32(0xFF)
-        u1 = (t8 >> 8) & jnp.uint32(0xFF)
+        u0 = t8 & np.uint32(0xFF)
+        u1 = (t8 >> 8) & np.uint32(0xFF)
         u2 = t8 >> 16                                      # < 2^5
         # position-shifted concat: plane j contributes at column k + j;
         # only columns < 2n matter (mod R)
@@ -491,7 +495,7 @@ class Field:
         out8 = 2 * n8                        # 64 base-2^8 columns
         M = jnp.asarray(_shift_matrix8_flat(n8, out8))
         Of = O.reshape(*O.shape[:-2], n8 * n8)
-        lo = jnp.dot((Of & jnp.uint32(0xFFFF)).astype(jnp.float32), M,
+        lo = jnp.dot((Of & np.uint32(0xFFFF)).astype(jnp.float32), M,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
         hi = jnp.dot((Of >> 16).astype(jnp.float32), M,

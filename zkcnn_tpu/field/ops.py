@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from .params import LIMB_BITS, LIMB_MASK
 from .limbs import FR, add_base16, resolve
 
-_MASK8 = jnp.uint32(0xFF)
+_MASK8 = np.uint32(0xFF)  # host constant (see limbs.py _MASK note)
 
 
 def to_plain(f, x):
@@ -66,7 +66,7 @@ class SignedView:
         # direct: p - v. Use add of (~v) + 1 + p - 2^(16n) won't fit; instead
         # subtract with borrow chain via add_base16 of complement.
         p_limbs = jnp.asarray(f.p_limbs)
-        comp = plain ^ jnp.uint32(LIMB_MASK)
+        comp = plain ^ np.uint32(LIMB_MASK)
         p_minus, _ = add_base16(jnp.broadcast_to(p_limbs, plain.shape), comp,
                                 extra_one=True)
         return neg, jnp.where(neg[..., None], p_minus, plain)
@@ -83,13 +83,13 @@ class SignedView:
     def bit(self, abs_plain, shift: int):
         """(|v| >> shift) & 1 from plain limbs -> uint32 0/1."""
         return (abs_plain[..., shift // LIMB_BITS]
-                >> (shift % LIMB_BITS)) & jnp.uint32(1)
+                >> (shift % LIMB_BITS)) & np.uint32(1)
 
     def bits_range(self, abs_plain, shifts):
         """Gather several bit positions: returns [..., len(shifts)]."""
         idx = np.asarray([s // LIMB_BITS for s in shifts], np.int32)
         off = np.asarray([s % LIMB_BITS for s in shifts], np.uint32)
-        return (abs_plain[..., idx] >> jnp.asarray(off)) & jnp.uint32(1)
+        return (abs_plain[..., idx] >> jnp.asarray(off)) & np.uint32(1)
 
 
 SIGNED_FR = SignedView(FR)
@@ -124,7 +124,7 @@ def segment_sum_field(vals, seg_ids, num_segments: int):
     # numbers so no column ever exceeds 2^32:
     w = f.n + 1
     a = resolve(slo, w)
-    shi_lo = (shi << 8) & jnp.uint32(LIMB_MASK)
+    shi_lo = (shi << 8) & np.uint32(LIMB_MASK)
     shi_hi = shi >> 8                              # < 2^16
     cols2 = jnp.zeros(shi.shape[:-1] + (shi.shape[-1] + 1,), jnp.uint32)
     cols2 = cols2.at[..., : shi.shape[-1]].add(shi_lo)

@@ -226,7 +226,7 @@ def _round_kernel(a_ref, v_ref, txy_ref, pp8_ref, p8_ref, consts_ref,
         slo_ref[:] = jnp.zeros_like(slo_ref)
         shi_ref[:] = jnp.zeros_like(shi_ref)
 
-    slo_ref[:] = slo_ref[:] + (du & jnp.uint32(0xFFFF))
+    slo_ref[:] = slo_ref[:] + (du & np.uint32(0xFFFF))
     shi_ref[:] = shi_ref[:] + (du >> 16)
 
     # ---- folds: Toeplitz matmul + in-kernel Montgomery reduction ----
@@ -333,8 +333,8 @@ def _toeplitz_block(r_pack):
 
 def _split8_interleave(a):
     """[..., 16] -> [..., 32] interleaved planes (limbs.py _split8)."""
-    lo = a & jnp.uint32(0xFF)
-    hi = (a >> 8) & jnp.uint32(0xFF)
+    lo = a & np.uint32(0xFF)
+    hi = (a >> 8) & np.uint32(0xFF)
     return jnp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1],
                                                 a.shape[-1] * 2)
 
@@ -442,7 +442,7 @@ def _cubic_kernel(m_reps: int,
         slo_ref[:] = jnp.zeros_like(slo_ref)
         shi_ref[:] = jnp.zeros_like(shi_ref)
 
-    slo_ref[:] = slo_ref[:] + (du & jnp.uint32(0xFFFF))
+    slo_ref[:] = slo_ref[:] + (du & np.uint32(0xFFFF))
     shi_ref[:] = shi_ref[:] + (du >> 16)
 
     # folds of the two V operands

@@ -65,8 +65,8 @@ DOT_W = 35                  # dot value < 2^557 -> 35 limbs
 def to_red(X):
     """[m, 16] canonical limbs -> [m, 80] bf16 REDP planes."""
     m = X.shape[0]
-    lo = X & jnp.uint32(0xFF)
-    hi = (X >> 8) & jnp.uint32(0xFF)
+    lo = X & np.uint32(0xFF)
+    hi = (X >> 8) & np.uint32(0xFF)
     cols = jnp.stack([lo, hi], axis=-1).reshape(m, 2 * N)  # < 2^8
     cols = jnp.pad(cols, ((0, 0), (0, RW - 2 * N)))
     # high-byte planes of canonical columns are zero
@@ -151,8 +151,8 @@ def _scalar_T(s_mont):
     """[16] canonical Montgomery scalar -> [80, 72] f32 fold-Toeplitz:
     row (j*40+k) = byte plane j of input column k (digit k+j), column
     c = output digit; entry = s_digit[c-k-j]."""
-    lo = s_mont & jnp.uint32(0xFF)
-    hi = (s_mont >> 8) & jnp.uint32(0xFF)
+    lo = s_mont & np.uint32(0xFF)
+    hi = (s_mont >> 8) & np.uint32(0xFF)
     sd = jnp.stack([lo, hi], axis=-1).reshape(2 * N)        # [32]
     row = jnp.arange(PL)
     j = row // RW
@@ -187,7 +187,7 @@ def _round2_kernel(a_ref, v_ref, t_ref, pp3_ref, p2_ref, w_ref,
         slo_ref[:] = jnp.zeros_like(slo_ref)
         shi_ref[:] = jnp.zeros_like(shi_ref)
 
-    slo_ref[:] = slo_ref[:] + (du & jnp.uint32(0xFFFF))
+    slo_ref[:] = slo_ref[:] + (du & np.uint32(0xFFFF))
     shi_ref[:] = shi_ref[:] + (du >> 16)     # lo < 2^16+2 bits: see note
 
     # ---- folds ----

@@ -88,7 +88,7 @@ def _phi_build(n_bits: int, inverse: bool, out_bits: int, pw, c0, c1, scale):
     n_factors = n_bits - 1 if inverse else n_bits
     acc = jnp.broadcast_to(scale, (1 << out_bits, FR.n))
     for k in range(n_factors):
-        idx = (u << k) & jnp.uint32(N - 1)
+        idx = (u << k) & np.uint32(N - 1)
         g = pw[idx]
         term = FR.add(jnp.broadcast_to(c0[k], g.shape),
                       FR.mul(jnp.broadcast_to(c1[k], g.shape), g))

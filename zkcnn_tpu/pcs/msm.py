@@ -71,7 +71,7 @@ def _signed_digits(halves):
     k = np.arange(16)
     limb = halves[..., k // 2]
     digs = (limb >> jnp.asarray(((k % 2) * 8).astype(np.uint32))) \
-        & jnp.uint32(0xFF)
+        & np.uint32(0xFF)
     out = []
     carry = jnp.zeros(halves.shape[:-1], jnp.uint32)
     for i in range(16):
