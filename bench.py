@@ -1,14 +1,20 @@
 """Benchmark entry: prints ONE JSON line for the driver.
 
-Round-1 metric: sumcheck field-mul throughput per chip — the per-chip
-"speed of light" surface that BASELINE.json names
-("field-muls/sec/chip in sumcheck").  We time the fused sumcheck round
-kernel (round-message coefficients + fold) on a 2^20 hypercube, which
-is the prover's hot loop for every layer of every model.
+Round-2 metric: END-TO-END GKR prover seconds for a full LeNet5
+(pic_cnt=1) proof -- the metric BASELINE.json names ("prover seconds
+per proof") -- against the MEASURED single-thread C++ reference
+baseline on this machine (BASELINE.md: PT = 2.26 s, built from the
+unmodified reference sources + a from-scratch stand-in for its absent
+hyrax submodule; log baseline/results_lenet_pic1.log).
 
-vs_baseline uses a 1e7 muls/sec single-thread CPU estimate for the
-reference's mcl Fr multiply (the reference itself cannot be built:
-its hyrax submodule and demo data are absent upstream — BASELINE.md).
+vs_baseline = baseline_PT / our_PT (>1 means faster than the C++
+single-thread reference).
+
+The proof is timed twice in-process: the first run pays one-time
+program acquisition over the TPU tunnel (~0.5 s per distinct program
+even on persistent-cache hits), the second is the steady-state prover.
+Both are reported; `value` is the steady-state PT, which is the
+per-proof cost of a serving deployment (resident programs).
 """
 
 import json
@@ -19,61 +25,41 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
-    from zkcnn_tpu.field import FR
-    from zkcnn_tpu.mle import fold, coeffs_quadratic
+    from zkcnn_tpu.nn import random_source
+    from zkcnn_tpu.nn.models import lenet
+    from zkcnn_tpu.nn.params import PoolType
+    from zkcnn_tpu.gkr import Prover, Verifier, Tape
 
-    logn = 20
-    N = 1 << logn
-    rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.integers(0, 1 << 16, (N, FR.n), dtype=np.uint32))
-    V = jnp.asarray(rng.integers(0, 1 << 16, (N, FR.n), dtype=np.uint32))
-    r = jnp.asarray(FR.to_mont_host(12345678901234567890))
-
-    kernel = "xla"
-    try:
-        if jax.default_backend() == "tpu":
-            from zkcnn_tpu.field.pallas_round2 import round_step2, to_red
-            A = to_red(A)
-            V = to_red(V)
-
-            def round_step(A, V, r):
-                return round_step2(A, V, r)
-            kernel = "pallas-v2"
-    except Exception:
-        pass
-    if kernel == "xla":
-        @jax.jit
-        def round_step(A, V, r):
-            c0, c1, c2 = coeffs_quadratic(A, V)
-            return c0, c1, c2, fold(A, r), fold(V, r)
-
-    # warm up / compile
-    out = round_step(A, V, r)
-    jax.block_until_ready(out)
-
-    iters = 10
+    backend = jax.default_backend()
     t0 = time.time()
-    for _ in range(iters):
-        out = round_step(A, V, r)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    nn = lenet(32, 32, 1, 1, PoolType.MAX)
+    C, vals = nn.create(random_source(17))
+    build_s = time.time() - t0
 
-    # field-mul accounting per round on N entries:
-    #   coeffs: 3 pair-dot products over N/2 pairs  -> 2 N mul-equivalents
-    #   fold:   2 * N/2 muls                        -> N
-    muls = 3 * N
-    rate = muls / dt
-    baseline = 1.0e7
+    results = []
+    ok = True
+    for trial in range(2):
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"bench-lenet"))
+        t0 = time.time()
+        ok = v.verify() and ok
+        total = time.time() - t0
+        results.append((p.prove_time, v.vt, v.vt_slow, total))
+
+    pt = results[-1][0]
+    baseline = 2.26          # measured C++ single-thread (BASELINE.md)
     print(json.dumps({
-        "metric": "sumcheck_field_muls_per_sec_per_chip",
-        "value": round(rate, 1),
-        "unit": "muls/s",
-        "vs_baseline": round(rate / baseline, 3),
-        "note": f"fused sumcheck round ({kernel} kernel: coeffs+fold) on "
-                "2^20 hypercube; baseline = 1e7 muls/s est. single-thread "
-                "mcl (reference unbuildable: hyrax submodule + data "
-                "absent)",
+        "metric": "lenet_pic1_prover_seconds",
+        "value": round(pt, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / pt, 3),
+        "note": f"full LeNet5 GKR proof on {backend}, verified={ok}; "
+                f"steady-state PT (2nd in-process run); first-run "
+                f"PT={results[0][0]:.1f}s (one-time program loads), "
+                f"VT_fast={results[-1][1]:.3f}s "
+                f"VT_slow={results[-1][2]:.2f}s, witness build "
+                f"{build_s:.0f}s; baseline = measured C++ reference "
+                f"single-thread PT 2.26s (BASELINE.md)",
     }))
 
 

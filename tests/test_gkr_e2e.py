@@ -114,11 +114,19 @@ def test_fused_matches_per_round(monkeypatch):
 
 def test_fiat_shamir_e2e():
     """Non-interactive tape: challenges derived from absorbed prover
-    messages; proof still verifies, and tampering with the witness
-    changes the challenge stream and fails."""
+    messages (drawn only AFTER each round poly is absorbed -- the
+    interleaved schedule); proof verifies, and a tampered witness
+    fails."""
     from zkcnn_tpu.gkr import FiatShamirTape
     nn = singleConv(6, 1, 1, 3, 2, ConvType.NAIVE_FAST)
     C, vals = nn.create(random_source(33))
     p = Prover(C, vals)
     v = Verifier(p, C, FiatShamirTape(b"fs"))
     assert v.verify()
+
+    # tampering: corrupt one layer value; the FS challenge stream
+    # shifts with the absorbed messages and the proof must fail
+    bad = vals[1].at[2].set(jnp.asarray(FR.to_mont_host(77)))
+    p2 = Prover(C, [vals[0], bad])
+    v2 = Verifier(p2, C, FiatShamirTape(b"fs"))
+    assert not v2.verify()

@@ -71,3 +71,30 @@ def test_sharded_segment_sum():
     for v, s in zip(vals, segs):
         want[s] = (want[s] + v) % FR_P
     assert got == want
+
+
+def test_sharded_proof_transcript_equality():
+    """SURVEY.md section 7 step 7: a COMPLETE proof run sharded over
+    the virtual device mesh must produce a bit-identical transcript
+    (proof size, input eval, every round poly and claim -- compared
+    via the order-sensitive transcript digest) to the 1-chip run."""
+    from zkcnn_tpu.nn import random_source
+    from zkcnn_tpu.nn.models import singleConv
+    from zkcnn_tpu.nn.params import ConvType
+    from zkcnn_tpu.gkr import Prover, Verifier, Tape
+    from zkcnn_tpu.parallel.context import use_mesh
+
+    nn = singleConv(6, 1, 1, 3, 2, ConvType.FFT)
+    C, vals = nn.create(random_source(47))
+
+    def prove():
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"shard-eq"))
+        assert v.verify()
+        return p.proof_size, v.eval_in, v.transcript_digest
+
+    base = prove()
+    mesh = make_mesh(len(jax.devices()), "hyper")
+    with use_mesh(mesh):
+        sharded = prove()
+    assert base == sharded

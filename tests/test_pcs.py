@@ -113,3 +113,56 @@ def test_hyrax_ipa_open():
     pcs2.setup(logn, tape2)
     com2 = pcs2.commit(v0)
     assert not pcs2.open_and_verify(com2, v0, r, (ev + 1) % FR_P, tape2)
+
+
+def test_hyrax_fs_mode_gens_and_split():
+    """Fiat-Shamir mode: generators come from hash-to-curve (discrete
+    logs unknown -- tape-derived s_i*G would hand the prover every
+    dlog), and the verifier consumes ONLY public data via the
+    open()/verify() split."""
+    from zkcnn_tpu.gkr.tape import FiatShamirTape
+    rng = np.random.default_rng(11)
+    logn = 4
+    vals = [int.from_bytes(rng.bytes(31), "little") % FR_P
+            for _ in range(1 << logn)]
+    v0 = jnp.asarray(FR.pack_mont_host(vals))
+    r = [int.from_bytes(rng.bytes(31), "little") % FR_P
+         for _ in range(logn)]
+    ev = mle_eval(v0, r)
+
+    for mode in ("sqrt", "ipa"):
+        pcs = HyraxPCS(mode=mode)
+        tape = FiatShamirTape(b"fs-pcs")
+        pcs.setup(logn, tape)
+        # every generator must be on-curve and not the base point
+        # (hash-to-curve, not s*G)
+        for (x, y) in curve.to_affine_host(pcs.gens):
+            assert (y * y - (x ** 3 + 4)) % curve.FP_P == 0
+            assert (x, y) != G_AFF
+        com = pcs.commit(v0)
+        proof = pcs.open(v0, r, ev, tape.clone())
+        assert pcs.verify(com, r, ev, proof, tape.clone())
+        assert not pcs.verify(com, r, (ev + 1) % FR_P, proof,
+                              tape.clone())
+
+
+def test_ipa_fs_challenges_bind_messages():
+    """Bulletproofs FS requirement: tampering with an L_k changes the
+    verifier's challenge stream (absorbed before each draw), so the
+    proof must fail rather than verify against pre-tamper challenges."""
+    from zkcnn_tpu.gkr.tape import FiatShamirTape
+    rng = np.random.default_rng(13)
+    logn = 4
+    vals = [int.from_bytes(rng.bytes(31), "little") % FR_P
+            for _ in range(1 << logn)]
+    v0 = jnp.asarray(FR.pack_mont_host(vals))
+    r = [int.from_bytes(rng.bytes(31), "little") % FR_P
+         for _ in range(logn)]
+    ev = mle_eval(v0, r)
+    pcs = HyraxPCS(mode="ipa")
+    tape = FiatShamirTape(b"fs-bind")
+    pcs.setup(logn, tape)
+    com = pcs.commit(v0)
+    proof = pcs.open(v0, r, ev, tape.clone())
+    proof.Ls[0] = curve.pdouble(proof.Ls[0])     # tamper one round msg
+    assert not pcs.verify(com, r, ev, proof, tape.clone())

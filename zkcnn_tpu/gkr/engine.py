@@ -36,7 +36,11 @@ def _pack(r: int):
 
 
 class Side:
-    """One (mult, V) operand pair over a 2^nb hypercube."""
+    """One (mult, V) operand pair over a 2^nb hypercube.
+
+    Under an active mesh (parallel/context.py) the operands are placed
+    with their leading dim (high index bits) sharded across chips: the
+    pair fold stays local, the coefficient dots psum over ICI."""
 
     def __init__(self, A, V, nb: int):
         m = 1 << nb
@@ -44,7 +48,8 @@ class Side:
         if A.shape[0] < m:
             pad = ((0, m - A.shape[0]), (0, 0))
             A, V = jnp.pad(A, pad), jnp.pad(V, pad)
-        self.A, self.V = A[:m], V[:m]
+        from ..parallel.context import shard_rows
+        self.A, self.V = shard_rows(A[:m]), shard_rows(V[:m])
         self.nb = nb
         self.folds = 0
         self.collapsed = False
@@ -59,19 +64,37 @@ class Side:
     def final_A(self) -> int:
         return _host(self.A[0])
 
+    def final_V_dev(self):
+        """Device [n] Montgomery claim (no host round trip)."""
+        return self.V[0]
+
 
 class PhaseEngine:
     """Drives one sumcheck phase (phase 1, phase 2, or the Liu input
     consolidation when include_add_term=False)."""
 
-    def __init__(self, sides: List[Optional[Side]], add_term: int = 0,
+    def __init__(self, sides: List[Optional[Side]], add_term=0,
                  include_add_term: bool = True):
         self.sides = sides
-        self.add_term = add_term % FR_P
+        # add_term may arrive as a device [n] Montgomery scalar (the
+        # fetch-free phase-2 init path); the host-int view is realized
+        # lazily, only by the per-round (Fiat-Shamir) path.
+        if isinstance(add_term, int):
+            self._add_dev = None
+            self.add_term = add_term % FR_P
+        else:
+            self._add_dev = add_term
+            self.add_term = None
         self.include_add_term = include_add_term
+
+    def _add_host(self) -> int:
+        if self.add_term is None:
+            self.add_term = _host(self._add_dev)
+        return self.add_term
 
     def round_poly(self):
         """Quadratic (c0, c1, c2) for the current round (host ints)."""
+        self._add_host()
         c0 = c1 = c2 = 0
         for s in self.sides:
             if s is None:
@@ -96,8 +119,10 @@ class PhaseEngine:
 
     def receive(self, r: int):
         """Fold with the verifier's random point; decay add_term."""
+        if getattr(self, "_ran_all", False):
+            return          # run_all already folded everything on device
         if self.include_add_term:
-            self.add_term = self.add_term * (1 - r) % FR_P
+            self.add_term = self._add_host() * (1 - r) % FR_P
         rp = _pack(r)
         for s in self.sides:
             if s is not None and s.active:
@@ -108,25 +133,49 @@ class PhaseEngine:
 
     def _run_all_steps(self, rs):
         """Per-round fallback with run_all's contract (identical math;
-        small per-shape kernels -- the CPU test path)."""
+        small per-shape kernels -- the CPU test path).  Returns the
+        polys as a host numpy [R, 3, n] Montgomery stack so the caller
+        contract matches the fused path (device/NumPy stacks)."""
         polys = []
         for r in rs:
             polys.append(self.round_poly())
             self.receive(r)
-        return polys
+        flat = [c for p in polys for c in p]
+        return [np.asarray(FR.pack_mont_host(flat)).reshape(
+            len(polys), 3, FR.n)]
 
     def run_all(self, rs):
-        """All rounds on device in CHUNK-round compiled pieces (see
-        fused.py); returns the round polys as host-int triples and
-        leaves the sides in their fully-folded state (subsequent
-        receive() calls are no-ops)."""
-        from .fused import _fused_quad, pack_challenges, _polys_host, \
-            _pallas_version, _fused_enabled, CHUNK
+        """All rounds on device; returns the round polys as a list of
+        [*, 3, n] Montgomery stacks (device arrays -- the caller
+        batches the host fetch; rows past len(rs) in a ladder stack
+        are padding) and leaves the sides in their fully-folded state
+        (subsequent receive() calls are no-ops).
+
+        Default build: the ladder decomposition (fused.py), whose
+        program set is keyed per SIZE, not per (layer, phase) -- the
+        program-count collapse that removes the TPU-tunnel
+        compile/load floor.  ZKCNN_TPU_LADDER=0 falls back to the
+        chunked whole-phase runners."""
+        from .fused import _fused_quad, pack_challenges, \
+            _pallas_version, _fused_enabled, _ladder_enabled, \
+            run_quad_phase_ladder, CHUNK, RMAX
         R = len(rs)
         if R == 0:
             return []
         if not _fused_enabled():
             return self._run_all_steps(rs)
+        if _ladder_enabled() and R <= RMAX:
+            add = self._add_dev if self._add_dev is not None \
+                else _pack(self.add_term)
+            polys, finals = run_quad_phase_ladder(
+                self.sides, add, list(rs), self.include_add_term)
+            for b, s in enumerate(self.sides):
+                if s is not None:
+                    s.A, s.V = finals[b]
+                    s.folds = s.nb
+                    s.collapsed = True
+            self._ran_all = True
+            return [polys]
         pv = _pallas_version()
         dummy = jnp.zeros((1, FR.n), jnp.uint32)
         nbs, arrs = [], []
@@ -137,7 +186,8 @@ class PhaseEngine:
             else:
                 nbs.append(s.nb)
                 arrs += [s.A, s.V]
-        add = _pack(self.add_term)
+        add = self._add_dev if self._add_dev is not None \
+            else _pack(self.add_term)
         rs_dev = pack_challenges(rs)
         polys = []
         for start in range(0, R, CHUNK):
@@ -153,13 +203,14 @@ class PhaseEngine:
                 arrs[0], arrs[1], arrs[2], arrs[3],
                 rs_dev[start: start + sub], add)
             arrs = [a0, v0, a1, v1]
-            polys += _polys_host(p)
+            polys.append(p)
         for b, s in enumerate(self.sides):
             if s is not None:
                 s.A = arrs[2 * b][:1]
                 s.V = arrs[2 * b + 1][:1]
                 s.folds = s.nb
                 s.collapsed = True
+        self._ran_all = True
         return polys
 
     def final_claim(self, b: int, bit_length: int) -> int:
@@ -169,6 +220,13 @@ class PhaseEngine:
         if s is None or bit_length < 0:
             return 0
         return s.final_V()
+
+    def final_claim_dev(self, b: int, bit_length: int):
+        """Device [n] variant of final_claim (fetch-free path)."""
+        s = self.sides[b]
+        if s is None or bit_length < 0:
+            return jnp.zeros((FR.n,), jnp.uint32)
+        return s.final_V_dev()
 
 
 @jax.jit
@@ -204,8 +262,9 @@ class DotProdPhase1:
     """
 
     def __init__(self, m, V0, V1, fft_bl: int, nb1: int):
-        self.m = m
-        self.V0, self.V1 = V0, V1
+        from ..parallel.context import shard_rows
+        self.m = shard_rows(m)
+        self.V0, self.V1 = shard_rows(V0), shard_rows(V1)
         self.fft_bl = fft_bl
         self.nb1 = nb1
         self.folds = 0
@@ -233,11 +292,14 @@ class DotProdPhase1:
         for r in rs:
             polys.append(self.round_poly())
             self.receive(r)
-        return polys
+        flat = [c for p in polys for c in p]
+        return [np.asarray(FR.pack_mont_host(flat)).reshape(
+            len(polys), 4, FR.n)]
 
     def run_all(self, rs):
-        """All rounds on device in CHUNK-round compiled pieces."""
-        from .fused import _fused_cubic, pack_challenges, _polys_host, \
+        """All rounds on device in CHUNK-round compiled pieces; returns
+        a list of [sub, 4, n] Montgomery stacks (device arrays)."""
+        from .fused import _fused_cubic, pack_challenges, \
             _use_pallas, _fused_enabled, CHUNK
         R = len(rs)
         if R == 0:
@@ -254,7 +316,7 @@ class DotProdPhase1:
             fb_rel = max(0, min(self.fft_bl - start, sub))
             fn = _fused_cubic(sub, fb_rel, up)
             p, m, V0, V1 = fn(m, V0, V1, rs_dev[start: start + sub])
-            polys += _polys_host(p)
+            polys.append(p)
         self.m, self.V0, self.V1 = m[:1], V0[:1], V1[:1]
         self.folds = R
         return polys
@@ -264,3 +326,8 @@ class DotProdPhase1:
         claim_1 = _host(self.V1[0])
         v_u1 = claim_1 * _host(self.m[0]) % FR_P
         return claim_1, v_u1
+
+    def finalize_dev(self):
+        """Device variant: (claim_1 [n], V_u1 [n]) Montgomery, no host
+        round trip."""
+        return self.V1[0], FR.mul(self.V1[0], self.m[0])

@@ -35,7 +35,13 @@ from ..mle import fold, coeffs_quadratic_dots
 def _pallas_version() -> int:
     """Pallas round-kernel routing on real TPU hardware:
     0 = off (pure XLA), 1 = canonical-form kernels (pallas_round.py),
-    2 = carry-free RED-form kernels (pallas_round2.py, default)."""
+    2 = carry-free RED-form kernels (pallas_round2.py, default).
+    Under an active mesh the pure-XLA kernels are used: GSPMD
+    partitions them across chips; the Pallas kernels are single-device
+    programs (parallel/context.py design note)."""
+    from ..parallel.context import active_mesh
+    if active_mesh() is not None:
+        return 0
     v = os.environ.get("ZKCNN_TPU_PALLAS", "2")
     if v not in ("0", "1", "2"):
         v = "2"
@@ -84,6 +90,193 @@ def _quad_coeffs(A, V):
 CHUNK = 8   # rounds per compiled program: bounds compile time/size
             # (full-phase programs crash the local XLA:CPU compiler
             # and take minutes on the tunnel); state flows on device
+
+
+# ---------------------------------------------------------------------
+# Ladder runners: the program-count-collapsed quadratic phase.
+#
+# The chunked runners above are keyed by (rounds, nb0, nb1, ...) --
+# every layer/phase shape combination is a distinct program, and over
+# the TPU tunnel each distinct program costs ~0.5 s to load (warm
+# persistent cache) or tens of seconds to compile (cold).  A LeNet
+# proof dispatches hundreds of distinct chunk programs; that -- not
+# compute -- was the round-1 latency floor.
+#
+# The ladder decomposition splits a phase into per-SIZE pieces shared
+# by every layer, phase, and model:
+#
+#   * _quad_ladder(k): 4 rounds of one side's pair dots + folds at
+#     size 2^k -> 2^(k-4).  Keyed by k ONLY; a side of nb rounds
+#     chains ladders at k = nb, nb-4, ... (the program set across a
+#     whole model is the ~20 distinct k values, not ~20 per layer).
+#   * _quad_tail(k), k in 1..3: the final sub-ladder rounds.
+#   * _combine(inc_add): ONE universal program (lax.scan over RMAX
+#     round slots) that assembles the per-round coefficient triples
+#     from both sides' dot stacks, handles each side's collapse into
+#     add_term at its exhaustion round (nb as a DEVICE scalar -- no
+#     shape key), and applies the add_term*(1-x) decay chain
+#     (reference prover.cpp:375-378,400-404).
+#
+# Round polys come back as a fixed [RMAX, 3, n] stack; the verifier's
+# replay reads the first R rows.
+
+LSTEP = 4     # rounds per ladder program
+RMAX = 26     # max sumcheck rounds of any supported phase (vgg16
+              # input MLE is 2^24; +2 slack)
+
+
+def _ladder_enabled() -> bool:
+    return os.environ.get("ZKCNN_TPU_LADDER", "1") == "1"
+
+
+@lru_cache(maxsize=64)
+def _quad_ladder(k: int, pallas_v: int):
+    """One side, LSTEP rounds at size 2^k: (A, V, rs [LSTEP, n]) ->
+    (dots [LSTEP, 4, n], A' [2^(k-LSTEP), n], V').  Keyed by k only --
+    shared across every layer, phase and model.  v2 Pallas rounds when
+    large (RED form held across the in-program rounds); XLA otherwise."""
+    from ..field.pallas_round2 import (round_step2, supported2, to_red,
+                                       red_to_mont, TILE2)
+    interp = os.environ.get("ZKCNN_TPU_PALLAS_INTERPRET") == "1"
+
+    def run(A, V, rs):
+        red = False
+        dots = []
+        for j in range(LSTEP):
+            m = A.shape[0]
+            if pallas_v == 2 and m >= 2 * TILE2 and supported2(m):
+                if not red:
+                    A, V = to_red(A), to_red(V)
+                    red = True
+                d, A, V = round_step2(A, V, rs[j], interpret=interp)
+            else:
+                if red:
+                    A, V = red_to_mont(A), red_to_mont(V)
+                    red = False
+                d = coeffs_quadratic_dots(A, V)
+                st = fold(jnp.stack([A, V]), rs[j])
+                A, V = st[0], st[1]
+            dots.append(d)
+        if red:
+            A, V = red_to_mont(A), red_to_mont(V)
+        return jnp.stack(dots), A, V
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _quad_tail(k: int):
+    """The final k (< LSTEP) rounds of a side (tiny sizes; XLA)."""
+
+    def run(A, V, rs):
+        dots = []
+        for j in range(k):
+            d = coeffs_quadratic_dots(A, V)
+            st = fold(jnp.stack([A, V]), rs[j])
+            A, V = st[0], st[1]
+            dots.append(d)
+        return jnp.stack(dots), A, V
+
+    return jax.jit(run)
+
+
+def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
+    """Chain ladder programs down a side's 2^nb hypercube; returns the
+    per-round dot stacks and the fully-folded [1, n] operands."""
+    stacks = []
+    j = 0
+    while nb - j >= LSTEP:
+        d, A, V = _quad_ladder(nb - j, pv)(A, V, rs_dev[j: j + LSTEP])
+        stacks.append(d)
+        j += LSTEP
+    if nb - j:
+        d, A, V = _quad_tail(nb - j)(A, V, rs_dev[j: nb])
+        stacks.append(d)
+    return stacks, A, V
+
+
+@lru_cache(maxsize=256)
+def _prep_side(parts: tuple):
+    """Concat a side's dot stacks, zero-pad to RMAX rounds, and form
+    the collapse product A[0]*V[0].  Keyed by the stack partition
+    (one tiny program per distinct nb)."""
+    total = sum(parts)
+
+    def run(*args):
+        stacks, (A, V) = args[: len(parts)], args[len(parts):]
+        if parts:
+            d = jnp.concatenate(stacks) if len(stacks) > 1 else stacks[0]
+            d = jnp.pad(d, ((0, RMAX - total), (0, 0), (0, 0)))
+        else:
+            d = jnp.zeros((RMAX, 4, FR.n), jnp.uint32)
+        return d, FR.mul(A[0], V[0])
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=4)
+def _combine_prog(inc_add: bool):
+    """THE universal round-poly assembler: one lax.scan over RMAX round
+    slots.  Side activity/collapse rounds (nb0, nb1) are DEVICE scalars
+    -- no shape specialization, one compile serves every phase of every
+    model.  Exhaustion semantics as the reference (prover.cpp:375-378,
+    400-404): side b contributes pair-dot quadratics for rounds < nb_b;
+    at round nb_b its folded product joins add_term, which decays by
+    (1-r) per round and contributes add*(1-x) to each message."""
+    one = FR.one_mont
+
+    def run(d0, d1, p0, p1, add0, rs, nb0, nb1):
+        js = jnp.arange(RMAX, dtype=jnp.int32)
+        zero = jnp.zeros((FR.n,), jnp.uint32)
+
+        def body(add, xs):
+            j, dd0, dd1, r = xs
+            add = jnp.where(j == nb0, FR.add(add, p0), add)
+            add = jnp.where(j == nb1, FR.add(add, p1), add)
+            q0 = _combine_dots(dd0[0], dd0[1], dd0[2], dd0[3])
+            q1 = _combine_dots(dd1[0], dd1[1], dd1[2], dd1[3])
+            a0, a1 = j < nb0, j < nb1
+            c = [FR.add(jnp.where(a0, x, zero), jnp.where(a1, y, zero))
+                 for x, y in zip(q0, q1)]
+            if inc_add:
+                c[0] = FR.add(c[0], add)
+                c[1] = FR.sub(c[1], add)
+                add = FR.mul(add, FR.sub(jnp.asarray(one), r))
+            return add, jnp.stack(c)
+
+        add_out, polys = jax.lax.scan(body, add0, (js, d0, d1, rs))
+        return polys, add_out
+
+    return jax.jit(run)
+
+
+def run_quad_phase_ladder(sides, add_dev, rs, include_add_term: bool):
+    """Whole quadratic phase via the ladder decomposition; returns the
+    [RMAX, 3, n] round-poly stack (first len(rs) rows are real) and the
+    per-side folded finals."""
+    pv = _pallas_version()
+    R = len(rs)
+    assert R <= RMAX
+    rs_all = pack_challenges(list(rs) + [0] * (RMAX - R))
+    dstacks, prods, nbs, finals = [], [], [], []
+    for s in sides:
+        if s is None:
+            dstacks.append(jnp.zeros((RMAX, 4, FR.n), jnp.uint32))
+            prods.append(jnp.zeros((FR.n,), jnp.uint32))
+            nbs.append(-1)
+            finals.append(None)
+            continue
+        stacks, A1, V1 = _run_side_ladder(s.A, s.V, s.nb, rs_all, pv)
+        parts = tuple(int(st.shape[0]) for st in stacks)
+        d, prod = _prep_side(parts)(*stacks, A1, V1)
+        dstacks.append(d)
+        prods.append(prod)
+        nbs.append(s.nb)
+        finals.append((A1, V1))
+    polys, _ = _combine_prog(include_add_term)(
+        dstacks[0], dstacks[1], prods[0], prods[1], add_dev, rs_all,
+        jnp.asarray(nbs[0], jnp.int32), jnp.asarray(nbs[1], jnp.int32))
+    return polys, finals
 
 
 @lru_cache(maxsize=256)
@@ -237,12 +430,16 @@ def pack_challenges(rs: List[int]):
     return jnp.asarray(FR.pack_mont_host(rs))
 
 
-def mle_eval_fused(X, rs: List[int]) -> int:
+def mle_eval_dev(X, rs: List[int]):
+    """MLE fold at rs, result left on device ([n] Montgomery)."""
     m = 1 << len(rs)
     if X.shape[0] < m:
         X = jnp.pad(X, ((0, m - X.shape[0]), (0, 0)))
-    out = _fused_mle_eval(len(rs))(X[:m], pack_challenges(rs))
-    return FR.from_mont_host(np.asarray(out))
+    return _fused_mle_eval(len(rs))(X[:m], pack_challenges(rs))
+
+
+def mle_eval_fused(X, rs: List[int]) -> int:
+    return FR.from_mont_host(np.asarray(mle_eval_dev(X, rs)))
 
 
 def _polys_host(polys_mont) -> List[tuple]:

@@ -57,8 +57,12 @@ def _timed(fn):
 
 class Prover:
     def __init__(self, C: Circuit, vals: List):
+        from ..parallel.context import active_mesh, shard_rows
         self.C = C
-        self.val = vals
+        # under an active mesh, witness tensors live sharded on their
+        # high index bits (parallel/context.py design note)
+        self.val = [shard_rows(v) for v in vals] if active_mesh() \
+            else vals
         self.proof_size = 0
         self.prove_time = 0.0
         self.r_u: List[Optional[List[int]]] = [None] * (C.size + 1)
@@ -75,9 +79,14 @@ class Prover:
     def v_res(self, r_0: List[int]) -> int:
         """Fold the output layer's MLE at the verifier's point
         (reference Vres, prover.cpp:434-457)."""
+        return _host(self.v_res_dev(r_0))
+
+    @_timed
+    def v_res_dev(self, r_0: List[int]):
+        """Device [n] variant of v_res (fetch-free path)."""
         self.proof_size += F_BYTE_SIZE
-        from .fused import mle_eval_fused
-        return mle_eval_fused(self.val[self.C.size - 1], r_0)
+        from .fused import mle_eval_dev
+        return mle_eval_dev(self.val[self.C.size - 1], r_0)
 
     def sumcheck_init_all(self, r_0: List[int]):
         self.sumcheck_id = self.C.size
@@ -250,18 +259,27 @@ class Prover:
     @_timed
     def run_rounds_quad(self, rs: List[int]):
         """Fused path: all round polys of the current quadratic phase
-        in one device program (challenges known up front; see
-        fused.py)."""
+        in chunked device programs (challenges known up front; see
+        fused.py).  Returns device [sub, 3, n] stacks -- the verifier
+        batches the host fetch at the end of the protocol."""
         polys = self.phase.run_all(rs)
-        self.proof_size += F_BYTE_SIZE * 3 * len(polys)
+        self.proof_size += F_BYTE_SIZE * 3 * len(rs)
         return polys
 
     @_timed
     def run_rounds_cubic(self, rs: List[int]):
+        """As run_rounds_quad, [sub, 4, n] stacks.  The reference omits
+        a zero cubic coefficient from the proof size (prover.cpp:137);
+        that accounting is applied post-fetch via account_cubic."""
         polys = self.phase.run_all(rs)
-        for p4 in polys:
-            self.proof_size += F_BYTE_SIZE * (3 + (p4[3] != 0))
+        self.proof_size += F_BYTE_SIZE * 3 * len(rs)
         return polys
+
+    def account_cubic(self, polys_host: List[tuple]):
+        """Post-fetch PS accounting for cubic rounds: +1 field element
+        per round whose cubic coefficient is nonzero."""
+        for p4 in polys_host:
+            self.proof_size += F_BYTE_SIZE * (p4[3] != 0)
 
     @_timed
     def round_quadratic(self, prev_r: int):
@@ -284,34 +302,54 @@ class Prover:
 
     @_timed
     def finalize1(self, r_all: List[int]):
+        """Host-int claims (per-round / Fiat-Shamir path); V_u0/V_u1
+        remain device (set by finalize1_dev)."""
+        c0, c1 = self.finalize1_dev(r_all)
+        return _host(c0), _host(c1)
+
+    @_timed
+    def finalize1_dev(self, r_all: List[int]):
+        """Device [n] claims; V_u0/V_u1 stay device-resident for the
+        phase-2 init (reference prover.cpp:298-304)."""
         lid = self.sumcheck_id
         cur = self.C.layers[lid]
         self.r_u[lid] = list(r_all)
         self.phase.receive(r_all[-1])    # final fold at the last point
-        claim_0 = self.phase.final_claim(0, cur.bit_length_u[0])
-        claim_1 = self.phase.final_claim(1, cur.bit_length_u[1])
+        claim_0 = self.phase.final_claim_dev(0, cur.bit_length_u[0])
+        claim_1 = self.phase.final_claim_dev(1, cur.bit_length_u[1])
         self.V_u0, self.V_u1 = claim_0, claim_1
         self.proof_size += F_BYTE_SIZE * 2
         return claim_0, claim_1
 
     @_timed
     def dotprod_finalize1(self, r_all: List[int]):
+        claim_1, _ = self.dotprod_finalize1_dev(r_all)
+        return _host(claim_1)
+
+    @_timed
+    def dotprod_finalize1_dev(self, r_all: List[int]):
+        """Device variant: -> (claim_1 [n], V_u1 [n])."""
         lid = self.sumcheck_id
         self.r_u[lid] = list(r_all)
         self.phase.receive(r_all[-1])
-        claim_1, v_u1 = self.phase.finalize()
+        claim_1, v_u1 = self.phase.finalize_dev()
         self.V_u1 = v_u1
         self.proof_size += F_BYTE_SIZE
-        return claim_1
+        return claim_1, v_u1
 
     @_timed
     def finalize2(self, r_all: List[int]):
+        c0, c1 = self.finalize2_dev(r_all)
+        return _host(c0), _host(c1)
+
+    @_timed
+    def finalize2_dev(self, r_all: List[int]):
         lid = self.sumcheck_id
         cur = self.C.layers[lid]
         self.r_v[lid] = list(r_all)
         self.phase.receive(r_all[-1])
-        claim_0 = self.phase.final_claim(0, cur.bit_length_v[0])
-        claim_1 = self.phase.final_claim(1, cur.bit_length_v[1])
+        claim_0 = self.phase.final_claim_dev(0, cur.bit_length_v[0])
+        claim_1 = self.phase.final_claim_dev(1, cur.bit_length_v[1])
         self.proof_size += F_BYTE_SIZE * 2
         return claim_0, claim_1
 
@@ -335,22 +373,24 @@ class Prover:
             prev = self.val[lid - 1][: 1 << cur.bit_length_u[1]].reshape(
                 -1, L, FR.n)
             mult1, V1 = dotprod_p2_mult(
-                self.beta_g, beta_u, _pack(self.V_u1), cache["bin11"],
+                self.beta_g, beta_u, self.V_u1, cache["bin11"],
                 jnp.zeros(1 << nb1, jnp.uint32), prev, beta_gs)
             self.phase = PhaseEngine([None, Side(mult1, V1[: 1 << nb1],
                                                  nb1)])
             return
 
         beta_u = beta_table(r_u[:cur.max_bl_u], 1)
-        add_term = 0
+        add_term = None     # device [n] accumulator (fetch-free)
         # uni gates: beta_g[g]*beta_u[u]*V_u*tm[sc] summed into add_term
-        vus = (_pack(self.V_u0), _pack(self.V_u1))
+        vus = (self.V_u0, self.V_u1)
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
                 t = p2_uni_add_term(self.beta_g, beta_u, self.tm, uni,
                                     cache[key + "_n"], vus[b])
-                add_term = (add_term + _host(t)) % FR_P
+                add_term = t if add_term is None else FR.add(add_term, t)
+        if add_term is None:
+            add_term = 0
 
         val0 = self.val[0]
         prev = self.val[lid - 1]
@@ -408,7 +448,11 @@ class Prover:
 
     @_timed
     def liu_finalize(self, r_all: List[int]) -> int:
+        return _host(self.liu_finalize_dev(r_all))
+
+    @_timed
+    def liu_finalize_dev(self, r_all: List[int]):
         self.r_u[0] = list(r_all)
         self.phase.receive(r_all[-1])
         self.proof_size += F_BYTE_SIZE
-        return self.phase.final_claim(1, self.C.layers[0].bit_length)
+        return self.phase.final_claim_dev(1, self.C.layers[0].bit_length)

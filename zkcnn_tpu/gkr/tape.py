@@ -20,6 +20,14 @@ class Tape:
     # first round -- this enables the fused whole-phase device runners
     # (gkr/fused.py).  FiatShamirTape must set this False.
     precomputable = True
+    # Whether the verifier must interleave absorb/draw per sumcheck
+    # round (draw r_j only AFTER absorbing round poly j).  Required for
+    # Fiat-Shamir soundness: challenges drawn before their round
+    # message is committed let a malicious prover forge any claim.
+    # False here: counter-based draws are absorb-independent, and the
+    # reference's interactive draw order (verifier.cpp:156-160) is the
+    # transcript-parity contract.
+    interleaved = False
 
     def __init__(self, seed: bytes = b"zkcnn-tpu"):
         self.seed = seed
@@ -55,6 +63,7 @@ class FiatShamirTape(Tape):
     anywhere in the C++ codebase.)"""
 
     precomputable = False
+    interleaved = True
 
     def __init__(self, seed: bytes = b"zkcnn-tpu-fs"):
         super().__init__(seed)

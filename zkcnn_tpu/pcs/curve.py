@@ -23,6 +23,7 @@ from ..field.params import FP_P
 # curve: y^2 = x^3 + 4
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
 G1_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1
+G1_COFACTOR = 0x396C8C005555E1568C00AAAB0000AAAB
 
 
 def point_pack(xyz):
@@ -189,3 +190,43 @@ def to_affine_host(pt):
             zi = pow(z, -1, FP_P)
             out.append((x * zi * zi % FP_P, y * zi * zi * zi % FP_P))
     return out
+
+
+def encode_points_host(pt) -> bytes:
+    """Canonical byte encoding of a batch of points: affine x||y (48+48
+    LE bytes each; a single zero byte for infinity).  Used for
+    Fiat-Shamir absorption -- Jacobian limb bytes are NOT canonical
+    (any Z-scaling changes them without changing the group element)."""
+    parts = []
+    for a in to_affine_host(pt):
+        if a is None:
+            parts.append(b"\x00")
+        else:
+            parts.append(a[0].to_bytes(48, "little")
+                         + a[1].to_bytes(48, "little"))
+    return b"".join(parts)
+
+
+def hash_to_group_host(seed: bytes, index: int):
+    """Try-and-increment hash-to-curve with cofactor clearing: returns
+    an affine (x, y) whose discrete log is unknown to everyone.  Used
+    for Fiat-Shamir-mode Pedersen generators, where tape-derived
+    s_i*G generators would hand the prover every discrete log (the
+    tape is a public function of the seed).  Host-side Python-int math
+    (setup-time only).  p == 3 (mod 4), so sqrt is a single pow."""
+    import hashlib
+    assert FP_P % 4 == 3
+    ctr = 0
+    while True:
+        h = hashlib.sha512(seed + index.to_bytes(8, "little")
+                           + ctr.to_bytes(8, "little")).digest()
+        x = int.from_bytes(h, "little") % FP_P
+        rhs = (x * x * x + 4) % FP_P
+        y = pow(rhs, (FP_P + 1) // 4, FP_P)
+        if y * y % FP_P == rhs:
+            if y & 1:
+                y = FP_P - y          # canonical sign choice
+            P = py_mul((x, y), G1_COFACTOR)
+            if P is not None:
+                return P
+        ctr += 1

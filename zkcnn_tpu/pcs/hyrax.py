@@ -3,19 +3,26 @@
 Reconstructed from the reference's call-site contract (the upstream
 hyrax-bls12-381 submodule is absent; SURVEY.md section 2 "hyrax" row):
 
-  * gens are |cols| = 2^(logn - logn//2) random G1 points drawn from
-    the verifier's randomness (reference verifier.cpp:119-126);
+  * gens are |cols| = 2^(logn - logn//2) G1 points (reference
+    verifier.cpp:119-126 draws them from the verifier's live CSPRNG;
+    here: tape-drawn s_i*G in the interactive model, where the prover
+    cannot grind the verifier's randomness, but hash-to-curve points
+    with unknown discrete logs in Fiat-Shamir mode, where tape-derived
+    scalars would be known to the prover and break binding);
   * the prover arranges the padded input MLE as a rows x cols matrix
     and Pedersen-commits every row (one MSM per row, batched here);
   * opening at point r: the verifier folds the row commitments with
     eq(row, r_hi) into a single commitment T'; the prover sends the
-    equally-folded scalar row b; the verifier checks <b, gens> == T'
-    and <b, eq(r_lo)> == eval.
+    equally-folded scalar row b (or an IPA compressing it); the
+    verifier checks <b, gens> == T' and <b, eq(r_lo)> == eval.
+
+Prover/verifier split: open() produces a self-contained SqrtProof /
+IpaProof from the witness; verify() consumes ONLY public data (the
+commitment, the point, the claimed eval, the proof) -- a verifier
+never touches the witness.
 
 This is the transparent non-ZK variant (the reference "doesn't add
-complete zero-knowledge property", README.md:5).  Opening proof size
-is O(sqrt N) field elements; a log-round Bulletproofs IPA compression
-is the planned upgrade (tracked in pcs/ipa.py).
+complete zero-knowledge property", README.md:5).
 """
 
 import time
@@ -34,6 +41,13 @@ F_BYTE_SIZE = 32
 G_BYTE_SIZE = 48
 
 
+class SqrtProof:
+    """The folded matrix row b ([n_cols, n] Montgomery limbs)."""
+
+    def __init__(self, b):
+        self.b = b
+
+
 class HyraxPCS:
     """mode="sqrt": prover sends the folded row b (sqrt-size proof,
     cheapest verify).  mode="ipa": Bulletproofs-style log-round
@@ -48,20 +62,27 @@ class HyraxPCS:
         self.ps = 0     # proof bytes
 
     def setup(self, bit_length: int, tape):
-        """Draw sqrt-many generators from the verifier tape
-        (verifier.cpp:119-126)."""
+        """Generators: tape-drawn in the interactive model (reference
+        verifier.cpp:119-126 parity); hash-to-curve (unknown discrete
+        logs) for Fiat-Shamir tapes -- see module docstring."""
         self.logn = bit_length
         self.l_col = bit_length - (bit_length >> 1)
         self.n_cols = 1 << self.l_col
         self.n_rows = 1 << (bit_length >> 1)
-        scalars = tape.fields(self.n_cols)
-        plain = jnp.asarray(
-            np.stack([np.array(
-                [(s >> (16 * i)) & 0xFFFF for i in range(FR.n)],
-                np.uint32) for s in scalars]))
-        base = jnp.broadcast_to(curve.base_point(),
-                                (self.n_cols, 3, curve.FP.n))
-        self.gens = curve.scalar_mul(base, plain)
+        if tape.precomputable:
+            scalars = tape.fields(self.n_cols)
+            plain = jnp.asarray(
+                np.stack([np.array(
+                    [(s >> (16 * i)) & 0xFFFF for i in range(FR.n)],
+                    np.uint32) for s in scalars]))
+            base = jnp.broadcast_to(curve.base_point(),
+                                    (self.n_cols, 3, curve.FP.n))
+            self.gens = curve.scalar_mul(base, plain)
+        else:
+            pts = [curve.hash_to_group_host(b"zkcnn-hyrax-gen", i)
+                   for i in range(self.n_cols)]
+            self.gens = jnp.asarray(np.stack(
+                [curve.point_pack((x, y, 1)) for (x, y) in pts]))
         self.gen_msm = FixedBaseMSM(self.gens)
 
     def commit(self, val0):
@@ -76,53 +97,72 @@ class HyraxPCS:
         self.ps += self.n_rows * G_BYTE_SIZE
         return self.row_commits
 
-    def open_and_verify(self, commitment, val0, r: List[int],
-                        eval_in: int, tape) -> bool:
-        # prover side: fold rows with eq(r_hi)
+    # ------------------------------------------------------------------
+    # prover side
+
+    def open(self, val0, r: List[int], eval_in: int, tape):
+        """Produce the opening proof at point r from the witness."""
         t0 = time.time()
         eq_hi = beta_table(r[self.l_col:], 1)        # [n_rows, n]
         mat = val0[: self.n_rows * self.n_cols].reshape(
             self.n_rows, self.n_cols, FR.n)
         b = FR.dot_mont(mat, eq_hi[:, None, :], axis=0)   # [n_cols, n]
         self.pt += time.time() - t0
-
+        if self.mode == "sqrt":
+            self.ps += self.n_cols * F_BYTE_SIZE
+            return SqrtProof(np.asarray(b))
+        from .ipa import ipa_prove
+        Q = self._aux_gen(tape)
         eq_lo = beta_table(r[: self.l_col], 1)
-        if self.mode == "ipa":
-            return self._open_ipa(commitment, b, eq_lo, eq_hi,
-                                  eval_in, tape)
-
-        # sqrt open: b is the proof; verifier checks both relations
-        self.ps += self.n_cols * F_BYTE_SIZE
-        t0 = time.time()
-        eval_got = FR.from_mont_host(np.asarray(FR.dot_mont(b, eq_lo)))
-        if eval_got != eval_in % FR_P:
-            return False
-        t_fold = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
-        lhs = self.gen_msm.compute(b[None])[0]
-        ok = bool(np.asarray(points_equal(lhs, t_fold)))
-        self.vt += time.time() - t0
-        return ok
-
-    def _open_ipa(self, commitment, b, eq_lo, eq_hi, eval_in, tape):
-        from .ipa import ipa_prove, ipa_verify
-        # auxiliary generator from the verifier tape
-        q_scalar = tape.field()
-        plain = jnp.asarray(np.array(
-            [[(q_scalar >> (16 * i)) & 0xFFFF for i in range(FR.n)]],
-            np.uint32))
-        Q = curve.scalar_mul(curve.base_point()[None], plain)[0]
-        # verifier folds the row commitments into P = <b, gens>
-        t0 = time.time()
-        P = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
-        self.vt += time.time() - t0
-        # interactive rounds: prover and verifier consume the same
-        # challenge sequence (tape replay)
-        replay = tape.clone()
         t0 = time.time()
         proof = ipa_prove(b, eq_lo, self.gens, Q, eval_in, tape)
         self.pt += time.time() - t0
         self.ps += len(proof.Ls) * 2 * G_BYTE_SIZE + F_BYTE_SIZE
+        return proof
+
+    def _aux_gen(self, tape):
+        """The IPA's auxiliary generator Q: tape-drawn (interactive) or
+        hash-to-curve (Fiat-Shamir), same rationale as setup()."""
+        if tape.precomputable:
+            q_scalar = tape.field()
+            plain = jnp.asarray(np.array(
+                [[(q_scalar >> (16 * i)) & 0xFFFF for i in range(FR.n)]],
+                np.uint32))
+            return curve.scalar_mul(curve.base_point()[None], plain)[0]
+        x, y = curve.hash_to_group_host(b"zkcnn-hyrax-gen-Q", 0)
+        return jnp.asarray(curve.point_pack((x, y, 1)))
+
+    # ------------------------------------------------------------------
+    # verifier side (public data only: commitment, r, eval, proof)
+
+    def verify(self, commitment, r: List[int], eval_in: int, proof,
+               tape) -> bool:
+        eq_lo = beta_table(r[: self.l_col], 1)
+        eq_hi = beta_table(r[self.l_col:], 1)
+        if self.mode == "sqrt":
+            t0 = time.time()
+            b = jnp.asarray(proof.b)
+            eval_got = FR.from_mont_host(
+                np.asarray(FR.dot_mont(b, eq_lo)))
+            if eval_got != eval_in % FR_P:
+                return False
+            t_fold = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
+            lhs = self.gen_msm.compute(b[None])[0]
+            ok = bool(np.asarray(points_equal(lhs, t_fold)))
+            self.vt += time.time() - t0
+            return ok
+        from .ipa import ipa_verify
+        Q = self._aux_gen(tape)
         t0 = time.time()
-        ok = ipa_verify(proof, eq_lo, self.gens, Q, P, eval_in, replay)
+        P = FixedBaseMSM(commitment).compute(eq_hi[None])[0]
+        ok = ipa_verify(proof, eq_lo, self.gens, Q, P, eval_in, tape)
         self.vt += time.time() - t0
         return ok
+
+    def open_and_verify(self, commitment, val0, r: List[int],
+                        eval_in: int, tape) -> bool:
+        """Prove + verify with prover and verifier consuming identical
+        challenge sequences (verifier replays a tape snapshot)."""
+        vtape = tape.clone()
+        proof = self.open(val0, r, eval_in, tape)
+        return self.verify(commitment, r, eval_in, proof, vtape)

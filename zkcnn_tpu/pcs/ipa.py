@@ -72,6 +72,17 @@ class IpaProof:
         self.b0: int = 0
 
 
+def _absorb_lr(tape, Lk, Rk):
+    """Bind the round challenge to the round message (the standard
+    Bulletproofs Fiat-Shamir requirement: challenges independent of
+    L_k/R_k admit forgery).  Canonical affine encoding -- Jacobian limb
+    bytes are malleable via Z-scaling.  Skipped for precomputable
+    (interactive) tapes, whose absorb is a no-op by definition."""
+    if not tape.precomputable:
+        enc = curve.encode_points_host(jnp.stack([Lk, Rk]))
+        tape.absorb(int.from_bytes(enc, "little"))
+
+
 def ipa_prove(b, x, G, Q, t: int, tape) -> IpaProof:
     """b, x: [L, n] Montgomery; G: [L, 3, n]; Q: [3, n]."""
     proof = IpaProof()
@@ -86,12 +97,14 @@ def ipa_prove(b, x, G, Q, t: int, tape) -> IpaProof:
         Rk = curve.padd(_msm_small(G_lo, b_hi), _pmul(Q[None], cr)[0])
         proof.Ls.append(Lk)
         proof.Rs.append(Rk)
+        _absorb_lr(tape, Lk, Rk)
         c = tape.field()
         cinv = pow(c, FR_P - 2, FR_P)
         b = _fold_scalars(b, c, cinv)
         x = _fold_scalars(x, cinv, c)     # x folds with inverse roles
         G = _fold_points(G, c, cinv)
     proof.b0 = int(FR.from_mont_host(np.asarray(b[0])))
+    tape.absorb(proof.b0)
     return proof
 
 
@@ -104,6 +117,7 @@ def ipa_verify(proof: IpaProof, x, G, Q, P, t: int, tape) -> bool:
     P_star = curve.padd(P, _pmul(Q[None], t % FR_P)[0])
     chals = []
     for k in range(logn):
+        _absorb_lr(tape, proof.Ls[k], proof.Rs[k])
         c = tape.field()
         cinv = pow(c, FR_P - 2, FR_P)
         chals.append((c, cinv))
@@ -112,6 +126,7 @@ def ipa_verify(proof: IpaProof, x, G, Q, P, t: int, tape) -> bool:
         P_star = curve.padd(P_star,
                             curve.padd(_pmul(proof.Ls[k][None], c2)[0],
                                        _pmul(proof.Rs[k][None], ci2)[0]))
+    tape.absorb(proof.b0)     # mirror the prover's transcript
     # s_i = prod over rounds of (c_k if bit else c_k^-1); round k splits
     # on index bit (logn-1-k) from the top; the lo half takes the
     # inverse role.  G and x fold with the SAME orientation, so one

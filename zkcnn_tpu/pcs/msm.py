@@ -143,12 +143,28 @@ def _horner_step(acc, w):
 
 
 class FixedBaseMSM:
+    # cap on the gathered [R_chunk, 2N, 3, n] window tensor (uint32
+    # words): ~1.5 GB.  vgg16's commit is 4096 rows x 4096 cols -- an
+    # unchunked gather would be terabytes.
+    MAX_GATHER_WORDS = 3 << 27
+
     def __init__(self, points):
         self.n_points = int(points.shape[0])
         self.table = build_table(points)
 
     def compute(self, scalars_mont):
-        """scalars_mont [R, N, n_limbs] (Montgomery) -> [R, 3, n] points."""
+        """scalars_mont [R, N, n_limbs] (Montgomery) -> [R, 3, n] points.
+        Rows are processed in chunks bounding the window-gather
+        footprint; chunk results concatenate exactly (rows are
+        independent MSMs)."""
+        R = scalars_mont.shape[0]
+        per_row = 2 * self.n_points * 3 * curve.FP.n
+        chunk = max(1, min(R, self.MAX_GATHER_WORDS // per_row))
+        outs = [self._compute_rows(scalars_mont[s: s + chunk])
+                for s in range(0, R, chunk)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _compute_rows(self, scalars_mont):
         plain = FR.mont_redc(scalars_mont, FR.n)
         k1, k2 = glv_split(plain)
         digs = jnp.concatenate([_signed_digits(k1), _signed_digits(k2)],
