@@ -11,6 +11,7 @@ reference, which evaluates witnesses before initSubset runs.
 
 from functools import partial, lru_cache
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -29,28 +30,40 @@ def two_mul_table(q_bit_size: int = 220):
     return jnp.asarray(FR.pack_mont_host(tm))
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _eval_gates(val0, val_prev, uni, bin_, tm, scale_pack, out_pow2: int):
-    """uni: [Nu,4] int32-safe int64; bin_: [Nb,5]. Returns [out_pow2, n]."""
-    parts = []
-    segs = []
-    if uni.shape[0]:
-        u_src = jnp.where((uni[:, UNI_LU] == 0)[:, None],
-                          val0[uni[:, UNI_U]], val_prev[uni[:, UNI_U]])
-        c = FR.mul(u_src, tm[uni[:, UNI_SC]])
-        parts.append(c)
-        segs.append(uni[:, UNI_G])
-    if bin_.shape[0]:
-        lu_in = (bin_[:, BIN_L] == 0)[:, None]
-        lv_in = ((bin_[:, BIN_L] & 1) == 0)[:, None]
-        a = jnp.where(lu_in, val0[bin_[:, BIN_U]], val_prev[bin_[:, BIN_U]])
-        b = jnp.where(lv_in, val0[bin_[:, BIN_V]], val_prev[bin_[:, BIN_V]])
-        c = FR.mul(FR.mul(a, b), tm[bin_[:, BIN_SC]])
-        parts.append(c)
-        segs.append(bin_[:, BIN_G])
-    vals = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    seg = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
-    out = segment_sum_field(vals, seg, out_pow2)
+EVAL_CHUNK = 1 << 19    # gate rows per device program: the f32
+                        # shift-matmul field mul materializes
+                        # [rows, 2*n*n] f32 (~1GB at 2^19), so vgg-scale
+                        # layers (2^25+ gates) stream through HBM
+                        # instead of OOMing on one giant mul/gather
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+def _eval_uni_chunk(acc, table, uni, tm, n0, out_pow2: int):
+    """acc[g] += table[src(u)] * two_mul[sc] for one uni-gate chunk.
+    table = [val0 ; val_prev]; lu != 0 selects the val_prev half via a
+    single offset gather (one materialized gather, not a two-branch
+    where).  Sentinel pad rows scatter to g >= out_pow2 and drop."""
+    idx = uni[:, UNI_U] + jnp.where(uni[:, UNI_LU] == 0, 0, n0)
+    c = FR.mul(table[idx], tm[jnp.clip(uni[:, UNI_SC], 0,
+                                       tm.shape[0] - 1)])
+    return FR.add(acc, segment_sum_field(c, uni[:, UNI_G], out_pow2))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+def _eval_bin_chunk(acc, table, bin_, tm, n0, out_pow2: int):
+    """acc[g] += table[src(u)] * table[src(v)] * two_mul[sc] for one
+    bin-gate chunk (2-bit l field: bit1 selects u's source, bit0 v's;
+    reference circuit.h:24-33)."""
+    a = table[bin_[:, BIN_U] + jnp.where(bin_[:, BIN_L] == 0, 0, n0)]
+    b = table[bin_[:, BIN_V]
+              + jnp.where((bin_[:, BIN_L] & 1) == 0, 0, n0)]
+    c = FR.mul(FR.mul(a, b), tm[jnp.clip(bin_[:, BIN_SC], 0,
+                                         tm.shape[0] - 1)])
+    return FR.add(acc, segment_sum_field(c, bin_[:, BIN_G], out_pow2))
+
+
+@jax.jit
+def _scale_out(out, scale_pack):
     return FR.mul(out, jnp.broadcast_to(scale_pack, out.shape))
 
 
@@ -58,20 +71,29 @@ def eval_normal_layer(layer: Layer, val0, val_prev):
     """calcNormalLayer (reference src/neuralNetwork.cpp:918-935); output
     padded to 2^bit_length.
 
-    Gate tensors are padded to power-of-two buckets (kernels.py
-    padding contract: sentinel rows scatter out of range and are
-    dropped) so the jitted program's signature repeats across layers
-    and models."""
-    from ..gkr.kernels import pad_pow2
+    Gate tensors are padded to power-of-two buckets under EVAL_CHUNK
+    rows and to chunk multiples above it (kernels.py padding contract:
+    sentinel rows scatter out of range and are dropped), and streamed
+    chunk-by-chunk into a donated accumulator -- constant peak memory
+    regardless of layer gate count."""
+    from ..gkr.kernels import pad_chunk_rows
     out_pow2 = 1 << max(layer.bit_length, 0)
     tm = two_mul_table()
     scale_pack = jnp.asarray(FR.to_mont_host(layer.scale))
     if val_prev is None:
         val_prev = val0[:1]  # unused placeholder
-    return _eval_gates(val0, val_prev,
-                       jnp.asarray(pad_pow2(layer.uni)),
-                       jnp.asarray(pad_pow2(layer.bin)),
-                       tm, scale_pack, out_pow2)
+    n0 = jnp.asarray(val0.shape[0], jnp.int32)
+    table = jnp.concatenate([val0, val_prev])
+    acc = jnp.zeros((out_pow2, FR.n), jnp.uint32)
+    for arr, fn in ((layer.uni, _eval_uni_chunk),
+                    (layer.bin, _eval_bin_chunk)):
+        if arr.shape[0] == 0:
+            continue
+        padded = pad_chunk_rows(arr, EVAL_CHUNK).astype(np.int32)
+        for start in range(0, padded.shape[0], EVAL_CHUNK):
+            chunk = jnp.asarray(padded[start: start + EVAL_CHUNK])
+            acc = fn(acc, table, chunk, tm, n0, out_pow2)
+    return _scale_out(acc, scale_pack)
 
 
 def eval_dot_prod_layer(layer: Layer, val_prev, pic_parallel: int,

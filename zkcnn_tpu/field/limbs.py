@@ -590,9 +590,23 @@ class Field:
                 borrow = (d < 0).astype(np.int64)
                 out[..., i] = (d + (borrow << 16)).astype(np.uint32)
             plain = np.where(neg[..., None], out, plain)
-        dev = jnp.asarray(plain)
+        # to-Montgomery multiply in jitted chunks: one eager whole-array
+        # mul materializes [N, 2*n*n] f32 shift-matmul operands (~10GB
+        # at vgg's 10^7-element input witness); 2^19-row pieces bound
+        # the working set to ~0.5GB
+        if not hasattr(self, "_to_mont_jit"):
+            self._to_mont_jit = jax.jit(
+                lambda x, r2: self.mul(x, jnp.broadcast_to(r2, x.shape)))
         r2 = jnp.asarray(self.r2_limbs)
-        return self.mul(dev, jnp.broadcast_to(r2, dev.shape))
+        flat = plain.reshape(-1, self.n)
+        ch = 1 << 19
+        if flat.shape[0] <= ch:
+            out = self._to_mont_jit(jnp.asarray(flat), r2)
+        else:
+            out = jnp.concatenate(
+                [self._to_mont_jit(jnp.asarray(flat[s: s + ch]), r2)
+                 for s in range(0, flat.shape[0], ch)])
+        return out.reshape(v.shape + (self.n,))
 
     def to_int_host(self, limbs) -> np.ndarray:
         """Montgomery limbs -> python-int objects array (host, exact)."""

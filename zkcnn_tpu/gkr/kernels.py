@@ -44,8 +44,80 @@ def pad_pow2(arr, sentinel: int = PAD_SENTINEL):
     return np.concatenate([arr, pad])
 
 
+def pad_chunk_rows(arr, chunk: int, sentinel: int = PAD_SENTINEL):
+    """Pad a [G, k] gate tensor with sentinel rows to the next power of
+    two when it fits inside one chunk, else to a multiple of `chunk`
+    (a pow2 pad at vgg scale would waste up to 2x rows; multiples keep
+    the per-chunk program signature shared across all large layers)."""
+    g = arr.shape[0]
+    if g <= chunk:
+        return pad_pow2(arr, sentinel)
+    m = ((g + chunk - 1) // chunk) * chunk
+    if m == g:
+        return arr
+    pad = np.full((m - g,) + arr.shape[1:], sentinel, arr.dtype)
+    return np.concatenate([arr, pad])
+
+
 def _valid_mask(n_rows: int, n_valid):
     return (jnp.arange(n_rows) < n_valid)[:, None]
+
+
+GATE_CHUNK = 1 << 19   # gate rows per init/predicate device program.
+                       # The f32 shift-matmul field mul materializes
+                       # [rows, 2*n*n] f32 (~1GB at 2^19), so this, not
+                       # the gathers, bounds the working set
+
+
+@partial(jax.jit, static_argnums=(2,))
+def dyn_chunk(arr, start, size: int):
+    """[rows, k] -> [size, k] window at `start` (device DMA; one
+    program per (rows, size, k) signature, start is traced)."""
+    return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def p1_uni_acc(acc, sc0: bool, bg, tm, uni):
+    """acc[u] += beta_g[g]*two_mul[sc] for one uni-gate chunk
+    (chunked variant of the p1_mult uni term)."""
+    c = bg[jnp.clip(uni[:, UNI_G], 0, bg.shape[0] - 1)]
+    if not sc0:
+        c = FR.mul(c, tm[jnp.clip(uni[:, UNI_SC], 0, tm.shape[0] - 1)])
+    return FR.add(acc, segment_sum_field(c, uni[:, UNI_U],
+                                         acc.shape[0]))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(1, 2))
+def p1_bin_acc(acc, vb: int, sc0: bool, bg, tm, gates, ori_v, val0,
+               prev):
+    """acc[u] += beta_g[g]*V_v*two_mul[sc] for one bin-gate chunk
+    (chunked variant of the p1_mult bin term)."""
+    if vb == 0:
+        vi = jnp.clip(gates[:, BIN_V], 0, ori_v.shape[0] - 1)
+        vals = val0[jnp.clip(ori_v[vi], 0, val0.shape[0] - 1)]
+    else:
+        vals = prev[jnp.clip(gates[:, BIN_V], 0, prev.shape[0] - 1)]
+    c = FR.mul(vals, bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)])
+    if not sc0:
+        c = FR.mul(c, tm[jnp.clip(gates[:, BIN_SC], 0,
+                                  tm.shape[0] - 1)])
+    return FR.add(acc, segment_sum_field(c, gates[:, BIN_U],
+                                         acc.shape[0]))
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+def p2_bin_acc(acc, sc0: bool, bg, beta_u, tm, gates, vu):
+    """acc[v] += beta_g[g]*beta_u[u]*V_u*two_mul[sc] for one bin-gate
+    chunk (chunked variant of the p2_mult term)."""
+    c = FR.mul(bg[jnp.clip(gates[:, BIN_G], 0, bg.shape[0] - 1)],
+               beta_u[jnp.clip(gates[:, BIN_U], 0,
+                               beta_u.shape[0] - 1)])
+    if not sc0:
+        c = FR.mul(c, tm[jnp.clip(gates[:, BIN_SC], 0,
+                                  tm.shape[0] - 1)])
+    c = FR.mul(c, jnp.broadcast_to(vu, c.shape))
+    return FR.add(acc, segment_sum_field(c, gates[:, BIN_V],
+                                         acc.shape[0]))
 
 
 @partial(jax.jit, static_argnums=(0, 1))
@@ -83,6 +155,89 @@ def p1_mult(total: int, sc0_flags, bg, tm, uni, bin_v0, bin_v1,
     vals = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     seg = jnp.concatenate(segs) if len(segs) > 1 else segs[0]
     return segment_sum_field(vals, seg, total)
+
+
+def _chunks(arr):
+    """Yield device chunk windows of a padded gate tensor together
+    with their start row.  pad_chunk_rows guarantees rows above
+    GATE_CHUNK are an exact multiple, so every window shares one
+    (GATE_CHUNK, k) program signature."""
+    rows = arr.shape[0]
+    if rows <= GATE_CHUNK:
+        yield 0, arr
+        return
+    for start in range(0, rows, GATE_CHUNK):
+        yield start, dyn_chunk(arr, start, GATE_CHUNK)
+
+
+def p1_mult_chunked(total: int, sc0_flags, bg, tm, uni, bin_v0,
+                    bin_v1, ori_v, val0, prev):
+    """p1_mult, streamed in GATE_CHUNK pieces for vgg-scale layers;
+    small layers keep the single fused p1_mult program."""
+    if max(uni.shape[0], bin_v0.shape[0],
+           bin_v1.shape[0]) <= GATE_CHUNK:
+        return p1_mult(total, sc0_flags, bg, tm, uni, bin_v0, bin_v1,
+                       ori_v, val0, prev)
+    acc = jnp.zeros((total, FR.n), jnp.uint32)
+    if uni.shape[0]:
+        for _, ch in _chunks(uni):
+            acc = p1_uni_acc(acc, sc0_flags[0], bg, tm, ch)
+    for vb, gates in ((0, bin_v0), (1, bin_v1)):
+        if gates.shape[0]:
+            for _, ch in _chunks(gates):
+                acc = p1_bin_acc(acc, vb, sc0_flags[1 + vb], bg, tm,
+                                 ch, ori_v, val0, prev)
+    return acc
+
+
+def p2_mult_chunked(total: int, sc0_flags, bg, beta_u, tm, bin_u0,
+                    bin_u1, vu0, vu1):
+    """p2_mult, streamed in GATE_CHUNK pieces (same contract)."""
+    if max(bin_u0.shape[0], bin_u1.shape[0]) <= GATE_CHUNK:
+        return p2_mult(total, sc0_flags, bg, beta_u, tm, bin_u0,
+                       bin_u1, vu0, vu1)
+    acc = jnp.zeros((total, FR.n), jnp.uint32)
+    for ub, gates, vu in ((0, bin_u0, vu0), (1, bin_u1, vu1)):
+        if gates.shape[0]:
+            for _, ch in _chunks(gates):
+                acc = p2_bin_acc(acc, sc0_flags[ub], bg, beta_u, tm,
+                                 ch, vu)
+    return acc
+
+
+def _rel_valid(n_valid, start: int):
+    return jnp.clip(n_valid - start, 0, GATE_CHUNK)
+
+
+def p2_uni_add_term_chunked(bg, beta_u, tm, uni, n_valid, vu):
+    out = None
+    for start, ch in _chunks(uni):
+        t = p2_uni_add_term(bg, beta_u, tm, ch,
+                            _rel_valid(n_valid, start) if
+                            uni.shape[0] > GATE_CHUNK else n_valid, vu)
+        out = t if out is None else FR.add(out, t)
+    return out
+
+
+def pred_uni_chunked(bg, beta_u, tm, uni, n_valid):
+    out = None
+    for start, ch in _chunks(uni):
+        t = pred_uni(bg, beta_u, tm, ch,
+                     _rel_valid(n_valid, start) if
+                     uni.shape[0] > GATE_CHUNK else n_valid)
+        out = t if out is None else FR.add(out, t)
+    return out
+
+
+def pred_bin_chunked(use_tm: bool, bg, beta_u, beta_v, tm, gates,
+                     n_valid):
+    out = None
+    for start, ch in _chunks(gates):
+        t = pred_bin(use_tm, bg, beta_u, beta_v, tm, ch,
+                     _rel_valid(n_valid, start) if
+                     gates.shape[0] > GATE_CHUNK else n_valid)
+        out = t if out is None else FR.add(out, t)
+    return out
 
 
 @partial(jax.jit, static_argnums=(0,))

@@ -31,10 +31,11 @@ from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
     BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
 from ..mle import beta_table, beta_table_2pt, phi_table
 from .engine import Side, PhaseEngine, DotProdPhase1, _host, _pack
-from .kernels import (pad_pow2, p1_mult, p2_mult, p2_uni_add_term,
-                      gather_pad, zero_region_scale, mul_outer_flat,
+from .kernels import (pad_chunk_rows, p1_mult_chunked, p2_mult_chunked,
+                      p2_uni_add_term_chunked, gather_pad,
+                      zero_region_scale, mul_outer_flat,
                       contract_counts, dotprod_p1_V0_gates,
-                      dotprod_p2_mult)
+                      dotprod_p2_mult, GATE_CHUNK)
 
 F_BYTE_SIZE = 32
 
@@ -101,17 +102,28 @@ class Prover:
     # ------------------------------------------------------------------
     # phase 1 inits
 
-    def _gate_dev(self, layer: Layer):
-        """Cache device copies of the gate tensors, split by source and
-        padded to power-of-two buckets (kernels.py padding contract:
-        sentinel index rows, per-class valid counts in "<key>_n")."""
-        if not hasattr(layer, "_dev_cache"):
-            uni, bi = layer.uni, layer.bin
-            cache = {}
+    # rows above which a layer's device gate cache is dropped after
+    # its sumcheck completes (vgg-scale layers would otherwise pin
+    # several GB of HBM each for the whole proof)
+    EVICT_ROWS = GATE_CHUNK
 
-            def put(key, arr):
-                cache[key] = _dev(pad_pow2(arr))
-                cache[key + "_n"] = jnp.asarray(arr.shape[0])
+    def _gate_host(self, layer: Layer):
+        """Host-side gate split: source-class tensors padded (chunk
+        contract) as int32 numpy, computed once per layer.  int32 is
+        safe -- gate ids < 2^31 and PAD_SENTINEL = 2^30; at vgg scale
+        (~10^8 gates) int64 device copies would not fit in HBM."""
+        if not hasattr(layer, "_host_cache"):
+            uni, bi = layer.uni, layer.bin
+            cache = {"rows": 0}
+
+            def put(key, arr, alias=None):
+                if alias is not None:
+                    cache[key] = cache[alias]
+                else:
+                    cache[key] = np.ascontiguousarray(
+                        pad_chunk_rows(arr, GATE_CHUNK).astype(np.int32))
+                    cache["rows"] += cache[key].shape[0]
+                cache[key + "_n"] = arr.shape[0]
 
             put("uni0", uni[uni[:, UNI_LU] == 0])
             put("uni1", uni[uni[:, UNI_LU] != 0])
@@ -121,30 +133,70 @@ class Prover:
                 for vb in (0, 1):
                     m = (u_in if ub == 0 else ~u_in) & \
                         (v_in if vb == 0 else ~v_in)
-                    put(f"bin{ub}{vb}", bi[m])
+                    sub = bi[m]
+                    put(f"bin{ub}{vb}", sub)
                     cache[f"bin{ub}{vb}_sc0"] = bool(
-                        (bi[m][:, BIN_SC] == 0).all())
-                    # verifier predicate groups by source-layer code l
-                    for lv in np.unique(bi[m][:, BIN_L]):
-                        put(f"bin{ub}{vb}_l{int(lv)}",
-                            bi[m][bi[m][:, BIN_L] == lv])
+                        (sub[:, BIN_SC] == 0).all())
+                    # verifier predicate groups by source-layer code l;
+                    # a single-l class aliases the parent buffer (the
+                    # common case -- avoids doubling gate memory)
+                    lvs = np.unique(sub[:, BIN_L])
+                    for lv in lvs:
+                        if len(lvs) == 1:
+                            put(f"bin{ub}{vb}_l{int(lv)}", sub,
+                                alias=f"bin{ub}{vb}")
+                        else:
+                            put(f"bin{ub}{vb}_l{int(lv)}",
+                                sub[sub[:, BIN_L] == lv])
             cache["uni0_sc0"] = bool(
                 (uni[uni[:, UNI_LU] == 0][:, UNI_SC] == 0).all())
             cache["uni1_sc0"] = bool(
                 (uni[uni[:, UNI_LU] != 0][:, UNI_SC] == 0).all())
-            cache["ori_u"] = _dev(layer.ori_id_u) \
-                if layer.ori_id_u is not None else None
-            cache["ori_v"] = _dev(layer.ori_id_v) \
-                if layer.ori_id_v is not None else None
+            layer._host_cache = cache
+        return layer._host_cache
+
+    def _ori_dev(self, layer: Layer):
+        """Device ori_id_u/ori_id_v subset maps -- small, kept for the
+        whole proof (the Liu phase and predicates need them after the
+        layer's own sumcheck)."""
+        if not hasattr(layer, "_ori_cache"):
+            layer._ori_cache = {
+                "ori_u": _dev(layer.ori_id_u.astype(np.int32))
+                if layer.ori_id_u is not None else None,
+                "ori_v": _dev(layer.ori_id_v.astype(np.int32))
+                if layer.ori_id_v is not None else None,
+            }
+        return layer._ori_cache
+
+    def _gate_dev(self, layer: Layer):
+        """Device copies of the gate split (sharing the host cache's
+        aliasing).  Rebuilt on demand after eviction."""
+        if not hasattr(layer, "_dev_cache"):
+            host = self._gate_host(layer)
+            cache = {}
+            seen = {}
+            for key, arr in host.items():
+                if isinstance(arr, np.ndarray):
+                    ident = id(arr)
+                    if ident not in seen:
+                        seen[ident] = _dev(arr)
+                    cache[key] = seen[ident]
+                elif key.endswith("_n"):
+                    cache[key] = jnp.asarray(arr)
+                elif key != "rows":
+                    cache[key] = arr
+            cache.update(self._ori_dev(layer))
             layer._dev_cache = cache
         return layer._dev_cache
 
-    def _v_source(self, cache, vb: int, gates, lid: int):
-        """Gather the v-operand values for bin gates (getCirValue,
-        prover.cpp:499-501)."""
-        if vb == 0:
-            return self.val[0][cache["ori_v"][gates[:, BIN_V]]]
-        return self.val[lid - 1][gates[:, BIN_V]]
+    def release_gates(self, layer: Layer):
+        """Drop a big layer's device gate tensors once its sumcheck /
+        predicate work is done (host cache stays; small layers stay
+        device-resident for steady-state serving)."""
+        if getattr(layer, "_host_cache", None) is not None and \
+                layer._host_cache["rows"] > self.EVICT_ROWS and \
+                hasattr(layer, "_dev_cache"):
+            del layer._dev_cache
 
     @_timed
     def sumcheck_init_phase1(self, relu_rou: int):
@@ -206,11 +258,11 @@ class Prover:
             flags = (cache[f"uni{b}_sc0"], cache[f"bin{b}0_sc0"],
                      cache[f"bin{b}1_sc0"])
             ori_v = cache["ori_v"]
-            mult = p1_mult(total, flags, bg, self.tm,
+            mult = p1_mult_chunked(total, flags, bg, self.tm,
                            cache[f"uni{b}"], cache[f"bin{b}0"],
                            cache[f"bin{b}1"],
                            ori_v if ori_v is not None else
-                           jnp.zeros((1,), jnp.int64), val0, prev)
+                           jnp.zeros((1,), jnp.int32), val0, prev)
             if b == 0:
                 V = gather_pad(total, cache["ori_u"], val0)
             else:
@@ -386,7 +438,8 @@ class Prover:
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
-                t = p2_uni_add_term(self.beta_g, beta_u, self.tm, uni,
+                t = p2_uni_add_term_chunked(self.beta_g, beta_u,
+                                            self.tm, uni,
                                     cache[key + "_n"], vus[b])
                 add_term = t if add_term is None else FR.add(add_term, t)
         if add_term is None:
@@ -401,7 +454,8 @@ class Prover:
                 continue
             total = 1 << bl
             flags = (cache[f"bin0{vb}_sc0"], cache[f"bin1{vb}_sc0"])
-            mult = p2_mult(total, flags, self.beta_g, beta_u, self.tm,
+            mult = p2_mult_chunked(total, flags, self.beta_g,
+                                   beta_u, self.tm,
                            cache[f"bin0{vb}"], cache[f"bin1{vb}"],
                            vus[0], vus[1])
             if vb == 0:
@@ -426,12 +480,12 @@ class Prover:
             if bl >= 0:
                 t = beta_table(self.r_u[i][:bl], sig_u[i - 1])
                 parts.append(t[: ly.size_u[0]])
-                segs.append(self._gate_dev(ly)["ori_u"])
+                segs.append(self._ori_dev(ly)["ori_u"])
             bl = ly.bit_length_v[0]
             if bl >= 0:
                 t = beta_table(self.r_v[i][:bl], sig_v[i - 1])
                 parts.append(t[: ly.size_v[0]])
-                segs.append(self._gate_dev(ly)["ori_v"])
+                segs.append(self._ori_dev(ly)["ori_v"])
         mult = segment_sum_field(jnp.concatenate(parts),
                                  jnp.concatenate(segs), total)
         V = self.val[0][:total]

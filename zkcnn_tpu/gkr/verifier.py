@@ -46,8 +46,8 @@ from ..circuit.ir import UNI_G, UNI_U, UNI_SC, BIN_G, BIN_U, BIN_V, \
     BIN_SC, BIN_L
 from ..mle import beta_table, beta_table_2pt, phi_table
 from .engine import _host, _pack
-from .kernels import (pred_uni, pred_bin, zero_region_scale,
-                      mul_outer_flat, gr_term)
+from .kernels import (pred_uni_chunked, pred_bin_chunked,
+                      zero_region_scale, mul_outer_flat, gr_term)
 from .prover import Prover
 from .tape import Tape
 
@@ -143,7 +143,7 @@ class Verifier:
         for b, key in ((0, "uni0"), (1, "uni1")):
             uni = cache[key]
             if uni.shape[0]:
-                self.uni_value[b] = pred_uni(
+                self.uni_value[b] = pred_uni_chunked(
                     self.beta_g, self.beta_u, self.tm, uni,
                     cache[key + "_n"])
 
@@ -170,9 +170,9 @@ class Verifier:
                     key = f"bin{ub}{vb}_l{l}"
                     if key not in cache:
                         continue
-                    t = pred_bin(use_tm, self.beta_g, self.beta_u,
-                                 beta_v, self.tm, cache[key],
-                                 cache[key + "_n"])
+                    t = pred_bin_chunked(
+                        use_tm, self.beta_g, self.beta_u, beta_v,
+                        self.tm, cache[key], cache[key + "_n"])
                     old = self.bin_value[int(l)]
                     self.bin_value[int(l)] = t if isinstance(old, int) \
                         else FR.add(old, t)
@@ -283,6 +283,7 @@ class Verifier:
                     if cur.bit_length_v[1] >= 0 else 0
                 rec["next_alpha"], rec["next_beta"] = alpha, beta
             recs["layers"].append(rec)
+            p.release_gates(cur)     # big layers: free HBM gate copies
             self.log(f"dispatch layer {i:3d} {cur.ty.name:9s} "
                      f"bl={cur.bit_length}")
 
@@ -365,6 +366,7 @@ class Verifier:
                 self._predicate_phase2_dev(i)
             rec["uni"] = list(self.uni_value)
             rec["bin"] = list(self.bin_value)
+            self.p.release_gates(self.C.layers[i])
 
         # Liu gr = subset predicate at the bound points (verifier.cpp:
         # 307-333), accumulated on device
@@ -373,7 +375,7 @@ class Verifier:
         gr = None
         for i in range(1, C.size):
             ly = C.layers[i]
-            cache = p._gate_dev(ly)
+            cache = p._ori_dev(ly)
             for bl, ori, rr, sig in (
                     (ly.bit_length_u[0], "ori_u", self.r_u[i],
                      recs["sig_u"][i - 1]),
@@ -581,6 +583,7 @@ class Verifier:
                                 + beta * final_claim_v1) % FR_P
             r_0 = self.r_u[i]
             r_1 = self.r_v[i]
+            p.release_gates(cur)
             self.log(f"layer {i:3d} {cur.ty.name:9s} bl={cur.bit_length} "
                      f"ok ({time.time() - t_layer:.2f}s)")
         return True
@@ -626,7 +629,7 @@ class Verifier:
         gr = 0
         for i in range(1, C.size):
             ly = C.layers[i]
-            cache = p._gate_dev(ly)
+            cache = p._ori_dev(ly)
             if ly.bit_length_u[0] >= 0:
                 bu = beta_table(self.r_u[i][:ly.bit_length_u[0]],
                                 sig_u[i - 1])

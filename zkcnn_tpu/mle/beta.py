@@ -37,11 +37,31 @@ def _beta_expand(ell: int, r_pack, init_pack):
     return B
 
 
+# largest table built as ONE jitted doubling program.  Above this the
+# XLA shift-matmul mul materializes [2^(l-1), 2*n*n] f32 operands
+# (17GB at l=24, vgg's input bit-length) -- so bigger tables compose
+# low-bit blocks scaled by the high-bit beta factors, chunk by chunk.
+_BETA_JIT_MAX = 20
+
+
+@jax.jit
+def _beta_scale_block(B, s):
+    return FR.mul(B, jnp.broadcast_to(s, B.shape))
+
+
 def beta_table(r, init=1):
     """beta[i] = init * prod_k (r_k if bit_k(i) else 1-r_k), i in [0,2^l)."""
     ell = len(r)
     if init % FR_P == 0:
         return jnp.zeros((1 << ell, FR.n), jnp.uint32)
+    if ell > _BETA_JIT_MAX:
+        # bit k is the HIGH bit of step k's doubling, so the full table
+        # is out[j * 2^m + i] = lo[i] * hi[j] with m = _BETA_JIT_MAX
+        lo = beta_table(r[:_BETA_JIT_MAX], init)
+        hi = beta_table(r[_BETA_JIT_MAX:], 1)
+        return jnp.concatenate(
+            [_beta_scale_block(lo, hi[j])
+             for j in range(hi.shape[0])])
     r_pack = jnp.asarray(FR.pack_mont_host([x % FR_P for x in r])) if ell \
         else jnp.zeros((0, FR.n), jnp.uint32)
     init_pack = jnp.asarray(FR.to_mont_host(init))

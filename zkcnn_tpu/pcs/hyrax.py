@@ -49,12 +49,13 @@ class SqrtProof:
 
 
 class HyraxPCS:
-    """mode="sqrt": prover sends the folded row b (sqrt-size proof,
-    cheapest verify).  mode="ipa": Bulletproofs-style log-round
-    inner-product argument (2 log2(cols) G1 points + 1 scalar), the
-    construction the reference's hyrax submodule implements."""
+    """mode="ipa" (default): Bulletproofs-style log-round inner-product
+    argument (2 log2(cols) G1 points + 1 scalar), the construction the
+    reference's hyrax submodule implements (README.md:94) -- logarithmic
+    POLY_PS.  mode="sqrt": prover sends the folded row b directly
+    (sqrt-size proof, cheapest verify)."""
 
-    def __init__(self, mode: str = "sqrt"):
+    def __init__(self, mode: str = "ipa"):
         assert mode in ("sqrt", "ipa")
         self.mode = mode
         self.pt = 0.0   # prover seconds
