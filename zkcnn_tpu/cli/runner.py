@@ -90,6 +90,7 @@ def run(nn, args, mo_info: str, psize: int, ksize: int):
         print("Verification FAILED", file=sys.stderr)
         sys.exit(1)
     print("Verification pass", file=sys.stderr)
+    print(f"transcript sha256 {v.transcript_digest}", file=sys.stderr)
 
     pt = p.prove_time
     vt = total_t - pt
