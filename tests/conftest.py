@@ -20,20 +20,32 @@ os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 # zkcnn_tpu/__init__ configures the compile cache from this env var at
 # import time; without it the package would re-point the cache at the
 # axon dir (remote-compiled artifacts) AFTER this file set it.
+# The dir is keyed by a host-CPU fingerprint: rounds run on different
+# machines, and XLA:CPU AOT entries from a foreign machine SIGILL.
+import hashlib
+_flags = ""
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _flags = " ".join(sorted(_line.split(":", 1)[1].split()))
+                break
+except OSError:
+    pass
+_fp = hashlib.sha256(_flags.encode()).hexdigest()[:12]
 os.environ["ZKCNN_TPU_XLA_CACHE"] = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".xla_cache", "cpu_local")
+    ".xla_cache", "cpu_" + _fp)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the limb-arithmetic composites are
-# compile-heavy; cache them across test processes.  The "_local"
-# suffix separates this dir from caches that may hold remote-compiled
-# artifacts (see above).
+# compile-heavy; cache them across test processes (same host-keyed dir
+# as above so suite runs share the build/dryrun cache).
 import pathlib
-_cache = pathlib.Path("/tmp/zkcnn_tpu_xla_cache_cpu_local")
-_cache.mkdir(exist_ok=True)
+_cache = pathlib.Path(os.environ["ZKCNN_TPU_XLA_CACHE"])
+_cache.mkdir(parents=True, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", str(_cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -20,8 +20,11 @@ from zkcnn_tpu.nn.models import lenet
 from zkcnn_tpu.nn.params import PoolType
 
 # pinned from: python -m zkcnn_tpu.cli.demo_lenet --synthetic --seed 17 \
-#                  --no-pcs   (TPU, results/lenet_digest_pin.log)
-PINNED_LENET_DIGEST = "UNPINNED"  # filled by the pin run below
+#                  --no-pcs   (TPU, results/lenet_digest_pin.log;
+#                  reproduced by two further runs in
+#                  results/lenet_pic1_tpu_r3_warm*.log)
+PINNED_LENET_DIGEST = \
+    "026144eb7ded5647d78ea84667b10b103ad0a7791dc4e9ec8f9d8ec088758d65"
 
 
 @pytest.mark.slow

@@ -74,6 +74,25 @@ def start_tunnel_warmup():
     return t
 
 
+def host_fingerprint() -> str:
+    """Short digest of this host's CPU feature set.  XLA:CPU AOT
+    executables embed the compile machine's features; loading entries
+    written on a different machine logs SIGILL warnings (and can
+    actually SIGILL).  Rounds of this build run on different hosts, so
+    CPU cache dirs are keyed by this fingerprint."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 def use_cpu_cache():
     """Switch the persistent compile cache to the local-CPU-only
     directory (call after forcing jax_platforms='cpu').  Also disables
@@ -83,7 +102,7 @@ def use_cpu_cache():
     _os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     d = _os.environ.get("ZKCNN_TPU_XLA_CACHE_CPU",
                         _os.path.join(_repo_root, ".xla_cache",
-                                      "cpu_local"))
+                                      "cpu_" + host_fingerprint()))
     try:
         _os.makedirs(d, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", d)

@@ -617,6 +617,30 @@ class Field:
             out[i] = self.from_mont_host(flat[i])
         return out.reshape(arr.shape[:-1])
 
+    def from_bigint(self, v):
+        """Object array of python ints (any size, any sign) -> Montgomery
+        limbs (device).  Values are reduced mod p; exactness does not
+        depend on magnitude (unlike from_int64)."""
+        v = np.asarray(v, object)
+        rem = v % self.p                       # object elementwise mod
+        plain = np.zeros(v.shape + (self.n,), np.uint32)
+        for i in range(self.n):
+            plain[..., i] = (rem & 0xFFFF).astype(np.uint32)
+            rem = rem >> 16
+        if not hasattr(self, "_to_mont_jit"):
+            self._to_mont_jit = jax.jit(
+                lambda x, r2: self.mul(x, jnp.broadcast_to(r2, x.shape)))
+        r2 = jnp.asarray(self.r2_limbs)
+        flat = plain.reshape(-1, self.n)
+        ch = 1 << 19
+        if flat.shape[0] <= ch:
+            out = self._to_mont_jit(jnp.asarray(flat), r2)
+        else:
+            out = jnp.concatenate(
+                [self._to_mont_jit(jnp.asarray(flat[s: s + ch]), r2)
+                 for s in range(0, flat.shape[0], ch)])
+        return out.reshape(v.shape + (self.n,))
+
     def to_signed_host(self, limbs) -> np.ndarray:
         """Like to_int_host but mapped to (-p/2, p/2] (mcl getInt64 semantics,
         reference src/neuralNetwork.cpp:900,913)."""

@@ -77,6 +77,10 @@ class Verifier:
         self.bin_value = [0, 0, 0]
         self.vt = 0.0       # fast-path verifier time
         self.vt_slow = 0.0  # including predicate table builds
+        # set by _fetch_transcript on precomputable tapes; None on
+        # interactive/Fiat-Shamir replays (ADVICE r2: runner.py printed
+        # an attribute that only existed on one path)
+        self.transcript_digest = None
 
     # ------------------------------------------------------------------
     # predicate evaluation (verifier.cpp:25-116)
@@ -285,7 +289,7 @@ class Verifier:
             recs["layers"].append(rec)
             p.release_gates(cur)     # big layers: free HBM gate copies
             self.log(f"dispatch layer {i:3d} {cur.ty.name:9s} "
-                     f"bl={cur.bit_length}")
+                     f"bl={cur.bit_length} (t={time.perf_counter():.1f})")
 
         # Liu input-consolidation phase (verifier.cpp:268-305)
         sig_u = self.tape.fields(C.size - 1)

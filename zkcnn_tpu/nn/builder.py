@@ -6,13 +6,24 @@ src/neuralNetwork.cpp:60-1016).  Differences from the reference are in
 
   * gate loops become vectorized numpy index constructions (same
     emission order, so subset compaction yields identical layouts);
-  * witness evaluation (the quantized CNN inference *in the field*) runs
-    on device: segment-sum gate replay, batched NTT for FFT layers, and
-    a structural dot-product contraction (reference calcNormalLayer /
-    calcFFTLayer / calcDotProdLayer, src/neuralNetwork.cpp:918-965);
+  * witness evaluation (the quantized CNN inference) runs in the INTEGER
+    domain on the host: every non-FFT layer's values are small signed
+    integers (gate constants are +-2^k with k <= Q_MAX, reference
+    circuit.cpp:90-97), so an exact numpy int64 gate replay (object ints
+    for the max-pool product trees, whose intermediates exceed 64 bits)
+    reproduces calcNormalLayer (reference src/neuralNetwork.cpp:918-935)
+    with zero device dispatches; one chunked int->Montgomery conversion
+    per layer materializes the prover's field tensors.  Only the
+    field-valued FFT / DOT_PROD / IFFT layers run on device (batched NTT
+    + structural MXU contraction, reference calcFFTLayer /
+    calcDotProdLayer, src/neuralNetwork.cpp:937-965); the IFFT output
+    (= the integer convolution result) is read back once per conv.
+    This removes the per-layer device program zoo that dominated build
+    time over the TPU tunnel (~0.5 s per distinct program);
   * bit-decomposition witnesses (ReLU sign/magnitude bits, pooling
     remainders, max-pool gadgets; reference prepare* at
-    src/neuralNetwork.cpp:899-916) are batched sign/bit extractions.
+    src/neuralNetwork.cpp:899-916) are batched numpy bit extractions on
+    the integer values.
 
 The dynamic quantization pipeline (Q = 9, Q_BIT_SIZE = 220, x_bit /
 w_bit / T bookkeeping) mirrors src/neuralNetwork.cpp:805-897,967-977
@@ -32,16 +43,57 @@ import jax.numpy as jnp
 
 from ..field import FR
 from ..field.params import FR_P
-from ..field.ops import SIGNED_FR, bits_to_mont
+from ..field.ops import SIGNED_FR
 from ..circuit import Circuit, Layer, LayerType, ceil_pow2_bit_length
-from ..circuit.eval import (eval_normal_layer, eval_dot_prod_layer,
-                            eval_fft_layer)
+from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
+    BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
+from ..circuit.eval import eval_dot_prod_layer, eval_fft_layer
 from .params import ConvType, PoolType, ConvKernel, FconKernel, PoolKernel
 from .source import TensorSource
 
 
 def _tes(w, x, y, z, n, m, l):
     return ((w * n + x) * m + y) * l + z
+
+
+def _tm_int(sc, qbs: int):
+    """two_mul gate constants as integers: two_mul[k] = 2^k for
+    k <= qbs, two_mul[qbs+1+j] = -2^j (reference src/circuit.cpp:90-97).
+    Returns int64 when every exponent fits, else an object array."""
+    sc = np.asarray(sc)
+    neg = sc > qbs
+    k = np.where(neg, sc - qbs - 1, sc).astype(np.int64)
+    if k.size == 0 or int(k.max()) < 62:
+        c = np.int64(1) << k
+        return np.where(neg, -c, c)
+    out = np.empty(sc.shape, object)
+    fk, fn, fo = k.ravel(), neg.ravel(), out.ravel()
+    for i in range(fo.size):
+        v = 1 << int(fk[i])
+        fo[i] = -v if fn[i] else v
+    return out
+
+
+def _scatter_add(out, g, vals):
+    """Exact out[g] += vals.  int64 accumulators take the bincount fast
+    path when every partial sum provably fits a float64 mantissa;
+    object accumulators (arbitrary-precision) use np.add.at."""
+    if vals.size == 0:
+        return
+    if out.dtype == object:
+        np.add.at(out, g, vals)
+        return
+    mb = int(np.abs(vals).max())
+    if mb == 0:
+        return
+    maxc = int(np.bincount(g, minlength=1).max())
+    if mb * maxc < (1 << 52):
+        acc = np.bincount(g, weights=vals.astype(np.float64),
+                          minlength=out.size)
+        out += acc.astype(np.int64)
+    else:
+        assert mb * maxc < (1 << 62), "int64 replay would overflow"
+        np.add.at(out, g, vals)
 
 
 def _stack_uni(g, u, lu, sc):
@@ -197,11 +249,10 @@ class NeuralNetwork:
         never triggers.  floor() is identical on the reference's domain
         and correct in the corner (observed on lenetCifar with synthetic
         inputs: max|v| = 2^16.05 vs a Q_MAX budget of 2^16)."""
-        v = self.vals[layer_id]
-        neg, hi, lo = (np.asarray(a) for a in SIGNED_FR.to_hilo(v))
-        u = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
-        mx = int(u[~neg].max()) if (~neg).any() else 0
-        mn = int(u[neg].max()) if neg.any() else 0
+        v = self.ivals[layer_id]
+        pos, neg = v[v > 0], v[v < 0]
+        mx = int(pos.max()) if pos.size else 0
+        mn = int(-neg.min()) if neg.size else 0
         x = mx + mn
         real_scale = x / math.pow(2.0, self.x_bit + self.w_bit)
         return math.floor(math.log2(((1 << (self.Q - 1)) - 1) / real_scale))
@@ -209,42 +260,138 @@ class NeuralNetwork:
     # ------------------------------------------------------------------
     # val0 (input-layer witness) management
 
+    def _val0_grow(self, need: int):
+        if need > self.ival0_arr.size:
+            cap = max(need, 2 * self.ival0_arr.size)
+            arr = np.zeros(cap, np.int64)
+            arr[: self.val0_len] = self.ival0_arr[: self.val0_len]
+            self.ival0_arr = arr
+
     def _val0_append(self, seg) -> int:
-        """Append a device segment [k, n]; returns its start offset."""
+        """Append an int64 segment; returns its start offset."""
+        seg = np.asarray(seg, np.int64).ravel()
         off = self.val0_len
-        self.val0_segs.append(seg)
-        self.val0_len += int(seg.shape[0])
-        self._val0_cache = None
+        self._val0_grow(off + seg.size)
+        self.ival0_arr[off: off + seg.size] = seg
+        self.val0_len += seg.size
         return off
 
     def _val0_reserve(self, k: int) -> int:
         off = self.val0_len
-        self.val0_segs.append(jnp.zeros((k, FR.n), jnp.uint32))
+        self._val0_grow(off + k)
         self.val0_len += k
-        self._val0_cache = None
         return off
 
     def _val0_fill(self, off: int, seg):
-        acc = self.val0_host.size
-        for i, s in enumerate(self.val0_segs):
-            if acc == off:
-                assert s.shape == seg.shape
-                self.val0_segs[i] = seg
-                self._val0_cache = None
-                return
-            acc += int(s.shape[0])
-        raise KeyError(off)
+        seg = np.asarray(seg, np.int64).ravel()
+        self.ival0_arr[off: off + seg.size] = seg
 
     def _write_params(self, start: int, q: np.ndarray):
-        self.val0_host[start:start + q.size] = q
-        self._val0_cache = None
+        self.ival0_arr[start: start + q.size] = q
+
+    # ------------------------------------------------------------------
+    # integer witness engine (exact host-side gate replay)
+
+    def _int_replay(self, layer: Layer, lid: int) -> np.ndarray:
+        """calcNormalLayer in the integer domain (reference
+        src/neuralNetwork.cpp:918-935): exact numpy gate replay.  int64
+        when products provably fit; object (python ints) otherwise
+        (max-pool product trees).  Output length 2^bit_length."""
+        qbs = self.Q_BIT_SIZE
+        n_out = 1 << max(layer.bit_length, 0)
+        v0 = self.ival0_arr
+        prev = self.ivals[lid - 1] if lid > 1 else v0
+
+        def amax(a):
+            return int(np.abs(a).max()) if a.size else 0
+
+        # gather each gate class and form its products, routing to
+        # object (python-int) arithmetic per class only when the
+        # products could overflow int64 (max-pool product trees)
+        pending = []     # (g, vals) per class
+        any_big = False
+        uni, bi = layer.uni, layer.bin
+        if uni.shape[0]:
+            in_mask = uni[:, UNI_LU] == 0
+            for msk, table in ((in_mask, v0), (~in_mask, prev)):
+                sub = uni[msk]
+                if not sub.shape[0]:
+                    continue
+                a = table[sub[:, UNI_U]]
+                tm = _tm_int(sub[:, UNI_SC], qbs)
+                if a.dtype != object and tm.dtype != object and \
+                        amax(a) * amax(tm) >= (1 << 62):
+                    a = a.astype(object)
+                vals = a * tm
+                any_big |= vals.dtype == object
+                pending.append((sub[:, UNI_G], vals))
+        if bi.shape[0]:
+            u_in = bi[:, BIN_L] == 0
+            v_in = (bi[:, BIN_L] & 1) == 0
+            for mu, tu in ((u_in, v0), (~u_in, prev)):
+                for mv, tv in ((v_in, v0), (~v_in, prev)):
+                    sub = bi[mu & mv]
+                    if not sub.shape[0]:
+                        continue
+                    a = tu[sub[:, BIN_U]]
+                    b = tv[sub[:, BIN_V]]
+                    tm = _tm_int(sub[:, BIN_SC], qbs)
+                    if object not in (a.dtype, b.dtype, tm.dtype) and \
+                            amax(a) * amax(b) * amax(tm) >= (1 << 62):
+                        a = a.astype(object)
+                    vals = a * b * tm
+                    any_big |= vals.dtype == object
+                    pending.append((sub[:, BIN_G], vals))
+
+        out = np.zeros(n_out, object if any_big else np.int64)
+        for g, vals in pending:
+            if any_big and vals.dtype != object:
+                vals = vals.astype(object)
+            _scatter_add(out, g, vals)
+
+        if layer.scale != 1:
+            # the only scaled replayed layer is AVG_POOL with
+            # scale = inv(k^2); the gadget guarantees exact division
+            denom = pow(layer.scale, -1, FR_P)
+            assert denom < (1 << 52), "unexpected layer scale"
+            q, r = np.divmod(out, denom)
+            assert not np.any(r != 0), "non-exact scale division"
+            out = q
+        return out
+
+    def _int_eval(self, layer: Layer, lid: int):
+        iv = self._int_replay(layer, lid)
+        if iv.dtype == object and (iv.size == 0 or
+                                   int(np.abs(iv).max()) < (1 << 62)):
+            iv = iv.astype(np.int64)   # keep successors on the fast path
+        self.ivals[lid] = iv
+        self.vals[lid] = self._ival_to_dev(iv, layer.bit_length)
+
+    @staticmethod
+    def _ival_to_dev(ival: np.ndarray, bl: int):
+        """Integer layer values -> padded [2^bl, n] Montgomery device
+        tensor (one chunked conversion program, shared across layers)."""
+        n = 1 << max(bl, 0)
+        if ival.dtype == object:
+            arr = np.zeros(n, object)
+            arr[: ival.size] = ival
+            return FR.from_bigint(arr)
+        arr = np.zeros(n, np.int64)
+        arr[: ival.size] = ival
+        return FR.from_int64(arr)
+
+    @staticmethod
+    def _ints_from_dev(dev, count: int) -> np.ndarray:
+        """Device Montgomery tensor -> signed int64 (exact for
+        |v| < 2^63; used to read back the IFFT layer = the integer
+        convolution results)."""
+        neg, hi, lo = (np.asarray(x)
+                       for x in SIGNED_FR.to_hilo(dev[:count]))
+        v = (hi.astype(np.int64) << np.int64(32)) | lo.astype(np.int64)
+        return np.where(neg, -v, v)
 
     def val0(self):
-        if self._val0_cache is None:
-            base = FR.from_int64(self.val0_host)
-            self._val0_cache = jnp.concatenate([base] + self.val0_segs) \
-                if self.val0_segs else base
-        return self._val0_cache
+        return FR.from_int64(self.ival0_arr[: self.val0_len])
 
     # ------------------------------------------------------------------
     # reads (reference neuralNetwork.cpp:805-897)
@@ -255,7 +402,7 @@ class NeuralNetwork:
         self.x_next_bit = self._scale_bit(dat.max(), dat.min(), self.Q)
         q = self._quantize(dat, self.x_next_bit)
         full = np.tile(q, self.pic_parallel)
-        self.val0_host[:full.size] = full
+        self.ival0_arr[:full.size] = full
 
     def _read_conv_weight(self, conv: ConvKernel):
         n = conv.channel_out * conv.channel_in * conv.size ** 2
@@ -274,13 +421,6 @@ class NeuralNetwork:
         dat = self.source.take(n)
         self.w_bit = self._scale_bit(dat.max(), dat.min(), self.Q)
         self._write_params(fc.weight_start_id, self._quantize(dat, self.w_bit))
-
-    # ------------------------------------------------------------------
-    # layer evaluation
-
-    def _eval_normal(self, layer: Layer, layer_id: int):
-        prev = self.vals[layer_id - 1] if layer_id > 1 else None
-        self.vals[layer_id] = eval_normal_layer(layer, self.val0(), prev)
 
     # ------------------------------------------------------------------
     # layer emitters
@@ -348,6 +488,9 @@ class NeuralNetwork:
         layer.fft_bit_length = self._fft_bit_len()
         layer.scale = pow(1 << layer.fft_bit_length, FR_P - 2, FR_P)
         self.vals[lid] = eval_fft_layer(layer, self.vals[lid - 1])
+        # the IFFT output IS the integer conv result: read it back once
+        # so the downstream layers stay in the host integer domain
+        self.ivals[lid] = self._ints_from_dev(self.vals[lid], size)
 
     def _add_bias_layer(self, layer: Layer, lid: int, first_bias_id: int):
         size = (self.nx_out * self.ny_out * self.channel_out
@@ -371,7 +514,7 @@ class NeuralNetwork:
         # interleave (bias, conv) per iteration like the reference
         layer.uni = np.stack([bias, conv], axis=1).reshape(-1, 4)
         self._read_bias(first_bias_id, co_n)
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     def _naive_conv_fast(self, layer: Layer, lid: int, first_conv_id: int,
                          first_bias_id: int):
@@ -414,7 +557,7 @@ class NeuralNetwork:
         self._read_conv_weight(self.cur_conv)
         if first_bias_id >= 0:
             self._read_bias(first_bias_id, co_n)
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     def _naive_conv_mul(self, layer: Layer, lid: int, first_conv_id: int):
         pic, co_n, ci_n, m = (self.pic_parallel, self.channel_out,
@@ -436,7 +579,7 @@ class NeuralNetwork:
         layer.set_size(int(u.size), LayerType.NCONV_MUL)
         layer.need_phase2 = True
         self._read_conv_weight(self.cur_conv)
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     def _naive_conv_add(self, layer: Layer, lid: int, first_bias_id: int):
         size = (self.nx_out * self.ny_out * self.channel_out
@@ -467,18 +610,28 @@ class NeuralNetwork:
             blocks.insert(0, _stack_uni(g, first_bias_id + CO, 0, 0))
             self._read_bias(first_bias_id, co_n)
         layer.uni = np.concatenate(blocks)
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     # -- ReLU gadget (reference neuralNetwork.cpp:344-439) --------------
 
-    def _relu_bits_aux(self, prev_vals, block_len: int):
-        """[sign, bits msb..lsb] per activation -> [block_len*Q_MAX, n]."""
-        neg, absx = SIGNED_FR.split(prev_vals[:block_len])
+    @staticmethod
+    def _bits_of_abs(v: np.ndarray, shifts) -> np.ndarray:
+        """|v| bit planes: [len(v), len(shifts)] 0/1 int64 (reference
+        prepareDecmpBit, src/neuralNetwork.cpp:905-911)."""
+        a = np.abs(np.asarray(v, np.int64))
+        return np.stack([(a >> s) & 1 for s in shifts], axis=1)
+
+    def _relu_bits_aux(self, prev_ints: np.ndarray, block_len: int):
+        """[sign, bits msb..lsb] per activation -> [block_len*Q_MAX]
+        int64 0/1 (reference prepareSignBit/prepareDecmpBit)."""
+        v = np.asarray(prev_ints[:block_len], np.int64)
+        assert int(np.abs(v).max(initial=0)) < 1 << (self.Q_MAX - 1), \
+            "activation exceeds Q_MAX bit budget"
         shifts = [self.Q_MAX - 1 - s for s in range(1, self.Q_MAX)]
-        bits = SIGNED_FR.bits_range(absx, shifts)          # [bl, Q_MAX-1]
-        allb = jnp.concatenate([neg[:, None].astype(jnp.uint32), bits],
-                               axis=1)
-        return bits_to_mont(allb.reshape(-1))
+        bits = self._bits_of_abs(v, shifts)                # [bl, Q_MAX-1]
+        allb = np.concatenate([(v < 0).astype(np.int64)[:, None], bits],
+                              axis=1)
+        return allb.reshape(-1)
 
     def _relu_act_layer(self, layer: Layer, lid: int, block_len: int):
         Q, QM, QBS = self.Q, self.Q_MAX, self.Q_BIT_SIZE
@@ -488,7 +641,7 @@ class NeuralNetwork:
         layer.zero_start_id = block_len
 
         first_dcmp = self.val0_len
-        aux = self._relu_bits_aux(self.vals[lid - 1], block_len)
+        aux = self._relu_bits_aux(self.ivals[lid - 1], block_len)
         self._val0_append(aux)
         self.total_relu_in += block_len * QM
 
@@ -512,7 +665,7 @@ class NeuralNetwork:
         uni3 = _stack_uni(g3, u3, 0, QBS + 1)
         layer.uni = np.concatenate([uni1, uni2a, uni2b, uni3])
         layer.bin = np.concatenate([bin1, bin2, bin3])
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     # -- pooling ---------------------------------------------------------
 
@@ -556,13 +709,10 @@ class NeuralNetwork:
         layer.bin = bin_chk
 
         # witness: remainder bits of each window sum, msb..lsb
-        prev = self.vals[lid - 1]
-        sums = FR.sum(prev[jnp.asarray(win)], axis=1)
-        _, absx = SIGNED_FR.split(sums)
+        sums = np.asarray(self.ivals[lid - 1], np.int64)[win].sum(axis=1)
         shifts = [dpool_bl - 1 - r for r in range(dpool_bl)]
-        bits = SIGNED_FR.bits_range(absx, shifts)
-        self._val0_append(bits_to_mont(bits.reshape(-1)))
-        self._eval_normal(layer, lid)
+        self._val0_append(self._bits_of_abs(sums, shifts).reshape(-1))
+        self._int_eval(layer, lid)
 
     def _max_pool_layers(self, C: Circuit, lid: int) -> int:
         """Multi-layer MAX-pool gadget (reference
@@ -578,26 +728,16 @@ class NeuralNetwork:
         self.total_max_in += dcmp_cnt
 
         win = self._window_indices()
-        prev = self.vals[lid - 1]
-        neg, hi, lo = SIGNED_FR.to_hilo(prev)
-        hi = jnp.where(neg, 0, hi)[jnp.asarray(win)]
-        lo = jnp.where(neg, 0, lo)[jnp.asarray(win)]
-        mhi = hi.max(axis=1)
-        mlo = jnp.where(hi == mhi[:, None], lo, 0).max(axis=1)
-        # rebuild field elements from (mhi, mlo)
-        plain = jnp.zeros((tot_new, FR.n), jnp.uint32)
-        plain = plain.at[:, 0].set(mlo & 0xFFFF)
-        plain = plain.at[:, 1].set(mlo >> 16)
-        plain = plain.at[:, 2].set(mhi & 0xFFFF)
-        plain = plain.at[:, 3].set(mhi >> 16)
-        maxv = FR.mul(plain, jnp.broadcast_to(jnp.asarray(FR.r2_limbs),
-                                              plain.shape))
+        prev = np.asarray(self.ivals[lid - 1], np.int64)
+        # ReLU is folded into MAX pool (reference prepareMax,
+        # src/neuralNetwork.cpp:913-916): negatives clamp to 0
+        maxv = np.maximum(prev[win], 0).max(axis=1)
         first_max = self._val0_append(maxv)
         self.total_max_in += tot_new
 
         shifts = [QM - 2 - j for j in range(QM - 1)]
-        maxbits = SIGNED_FR.bits_range(plain, shifts)
-        first_max_dcmp = self._val0_append(bits_to_mont(maxbits.reshape(-1)))
+        maxbits = self._bits_of_abs(maxv, shifts)
+        first_max_dcmp = self._val0_append(maxbits.reshape(-1))
         self.total_max_in += tot_new * (QM - 1)
 
         # layer 0: (max - x_i) and max-reconstruction zero block
@@ -617,14 +757,14 @@ class NeuralNetwork:
         u_bits = first_max_dcmp + i_max[:, None] * (QM - 1) + j
         uni_rec_bits = _stack_uni(g_new[:, None], u_bits, 0, QM - 2 - j)
         layer.uni = np.concatenate([sub_uni, uni_rec_max, uni_rec_bits])
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
         lid += 1
 
         # fill the (max - x) bit decompositions from layer-0 outputs
         minus_cnt = tot_new * psz2
-        _, absm = SIGNED_FR.split(self.vals[lid - 1][:minus_cnt])
-        mb = SIGNED_FR.bits_range(absm, [QM - 2 - b for b in range(QM - 1)])
-        self._val0_fill(first_dcmp, bits_to_mont(mb.reshape(-1)))
+        mb = self._bits_of_abs(self.ivals[lid - 1][:minus_cnt],
+                               [QM - 2 - b for b in range(QM - 1)])
+        self._val0_fill(first_dcmp, mb.reshape(-1))
 
         contain_max_ly, ksize = 1, psz2
         while not (ksize & 1):
@@ -684,7 +824,7 @@ class NeuralNetwork:
             ksize = half
             layer.uni = np.concatenate(unis) if unis else layer.uni
             layer.bin = np.concatenate(bins) if bins else layer.bin
-            self._eval_normal(layer, lid)
+            self._int_eval(layer, lid)
             lid += 1
         return lid
 
@@ -704,7 +844,7 @@ class NeuralNetwork:
         layer.bin = _stack_bin(g, u, v, 0, 2 * int(lid > 1))
         self._read_fcon_weight(fc)
         self._read_bias(fc.bias_start_id, co_n)
-        self._eval_normal(layer, lid)
+        self._int_eval(layer, lid)
 
     # ------------------------------------------------------------------
 
@@ -716,10 +856,10 @@ class NeuralNetwork:
         C = Circuit.init(self.Q_BIT_SIZE, self.SIZE)
         self.C = C
         self.vals: List[Optional[jnp.ndarray]] = [None] * self.SIZE
-        self.val0_host = np.zeros(self.total_in_size, np.int64)
-        self.val0_segs = []
+        self.ivals: List[Optional[np.ndarray]] = [None] * self.SIZE
+        self.ival0_arr = np.zeros(max(2 * self.total_in_size, 1 << 16),
+                                  np.int64)
         self.val0_len = self.total_in_size
-        self._val0_cache = None
         self.total_para_size = self.total_in_size - (
             self.pic_size_x * self.pic_size_y * self.pic_channel
             * self.pic_parallel)
@@ -739,7 +879,7 @@ class NeuralNetwork:
                     self._padding_layer(C.layers[lid], lid,
                                         conv.weight_start_id)
                     self._read_conv_weight(conv)
-                    self._eval_normal(C.layers[lid], lid)
+                    self._int_eval(C.layers[lid], lid)
                     lid += 1
                     self._fft_layer(C.layers[lid], lid); lid += 1
                     self._dot_prod_layer(C.layers[lid], lid); lid += 1
@@ -807,16 +947,14 @@ class NeuralNetwork:
         """argmax predictions per picture (reference printInfer,
         src/neuralNetwork.cpp:994-1016)."""
         n_class = self.full_conn[-1].channel_out
-        v = self.vals[self.SIZE - 1][: self.pic_parallel * n_class]
-        neg, hi, lo = (np.asarray(a) for a in SIGNED_FR.to_hilo(v))
-        u = ((hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64))
-        u = u.reshape(self.pic_parallel, n_class)
-        neg = neg.reshape(self.pic_parallel, n_class)
+        v = np.asarray(self.ivals[self.SIZE - 1][: self.pic_parallel
+                                                 * n_class], np.int64)
+        v = v.reshape(self.pic_parallel, n_class)
         out = np.full(self.pic_parallel, -1)
         for p in range(self.pic_parallel):
             best, bv = -1, -1
             for c in range(n_class):
-                if not neg[p, c] and (best == -1 or int(u[p, c]) > bv):
-                    best, bv = c, int(u[p, c])
+                if v[p, c] >= 0 and (best == -1 or int(v[p, c]) > bv):
+                    best, bv = c, int(v[p, c])
             out[p] = best
         return out

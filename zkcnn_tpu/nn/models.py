@@ -198,10 +198,10 @@ class singleConv(NeuralNetwork):
         C = Circuit.init(self.Q_BIT_SIZE, self.SIZE)
         self.C = C
         self.vals = [None] * self.SIZE
-        self.val0_host = np.zeros(self.total_in_size, np.int64)
-        self.val0_segs = []
+        self.ivals = [None] * self.SIZE
+        self.ival0_arr = np.zeros(max(2 * self.total_in_size, 1 << 16),
+                                  np.int64)
         self.val0_len = self.total_in_size
-        self._val0_cache = None
 
         self._calc_input_layer()
         lid = 1
@@ -216,7 +216,7 @@ class singleConv(NeuralNetwork):
                     self._padding_layer(C.layers[lid], lid,
                                         conv.weight_start_id)
                     self._read_conv_weight(conv)
-                    self._eval_normal(C.layers[lid], lid)
+                    self._int_eval(C.layers[lid], lid)
                     lid += 1
                     self._fft_layer(C.layers[lid], lid); lid += 1
                     self._dot_prod_layer(C.layers[lid], lid); lid += 1

@@ -142,11 +142,26 @@ def _horner_step(acc, w):
     return curve.padd(acc, w)
 
 
+@jax.jit
+def _digits_of(scalars_mont):
+    """[..., 16] Montgomery scalars -> [..., doubled-N..., 17] signed
+    digits: REDC out of Montgomery, GLV split, radix-256 recode."""
+    plain = FR.mont_redc(scalars_mont, FR.n)
+    k1, k2 = glv_split(plain)
+    return jnp.concatenate([_signed_digits(k1), _signed_digits(k2)],
+                           axis=1)
+
+
 class FixedBaseMSM:
     # cap on the gathered [R_chunk, 2N, 3, n] window tensor (uint32
     # words): ~1.5 GB.  vgg16's commit is 4096 rows x 4096 cols -- an
     # unchunked gather would be terabytes.
     MAX_GATHER_WORDS = 3 << 27
+    # cap on scalars per digit-recode dispatch: the Barrett/REDC
+    # intermediates (shift-matrix mul columns) are ~1.5 KB/scalar in
+    # f32, so 2^19 scalars keeps that pass under ~1 GB (vgg11's commit
+    # previously OOM'd here, results/vgg11_pic1_tpu_r2b.log).
+    MAX_REDC_SCALARS = 1 << 19
 
     def __init__(self, points):
         self.n_points = int(points.shape[0])
@@ -165,10 +180,14 @@ class FixedBaseMSM:
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def _compute_rows(self, scalars_mont):
-        plain = FR.mont_redc(scalars_mont, FR.n)
-        k1, k2 = glv_split(plain)
-        digs = jnp.concatenate([_signed_digits(k1), _signed_digits(k2)],
-                               axis=1)            # [R, 2N, 17]
+        R = scalars_mont.shape[0]
+        drows = max(1, self.MAX_REDC_SCALARS // self.n_points)
+        if R <= drows:
+            digs = _digits_of(scalars_mont)       # [R, 2N, 17]
+        else:
+            digs = jnp.concatenate(
+                [_digits_of(scalars_mont[s: s + drows])
+                 for s in range(0, R, drows)])
         acc = None
         for k in range(HALF_WINDOWS - 1, -1, -1):
             w = _window_sum(self.table, digs[:, :, k])
