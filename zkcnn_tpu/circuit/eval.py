@@ -20,6 +20,7 @@ from ..field.ops import segment_sum_field
 from ..ntt import ntt, intt
 from .ir import Layer, LayerType, UNI_G, UNI_U, UNI_LU, UNI_SC, \
     BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
+from ..warm import zjit
 
 
 @lru_cache(maxsize=1)
@@ -37,7 +38,7 @@ EVAL_CHUNK = 1 << 19    # gate rows per device program: the f32
                         # instead of OOMing on one giant mul/gather
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+@partial(zjit, donate_argnums=(0,), static_argnums=(5,))
 def _eval_uni_chunk(acc, table, uni, tm, n0, out_pow2: int):
     """acc[g] += table[src(u)] * two_mul[sc] for one uni-gate chunk.
     table = [val0 ; val_prev]; lu != 0 selects the val_prev half via a
@@ -49,7 +50,7 @@ def _eval_uni_chunk(acc, table, uni, tm, n0, out_pow2: int):
     return FR.add(acc, segment_sum_field(c, uni[:, UNI_G], out_pow2))
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+@partial(zjit, donate_argnums=(0,), static_argnums=(5,))
 def _eval_bin_chunk(acc, table, bin_, tm, n0, out_pow2: int):
     """acc[g] += table[src(u)] * table[src(v)] * two_mul[sc] for one
     bin-gate chunk (2-bit l field: bit1 selects u's source, bit0 v's;
@@ -62,7 +63,7 @@ def _eval_bin_chunk(acc, table, bin_, tm, n0, out_pow2: int):
     return FR.add(acc, segment_sum_field(c, bin_[:, BIN_G], out_pow2))
 
 
-@jax.jit
+@zjit
 def _scale_out(out, scale_pack):
     return FR.mul(out, jnp.broadcast_to(scale_pack, out.shape))
 

@@ -38,6 +38,9 @@ def base_arg_parser(desc):
     ap.add_argument("--pool", choices=["max", "avg"], default="max")
     ap.add_argument("--no-pcs", action="store_true",
                     help="skip the Hyrax polynomial commitment")
+    ap.add_argument("--no-warm", action="store_true",
+                    help="skip the concurrent program pre-load "
+                    "(zkcnn_tpu/warm.py) and don't update its manifest")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
     ap.add_argument("--log", action="store_true")
@@ -66,6 +69,18 @@ def make_source(args) -> TensorSource:
 
 
 def run(nn, args, mo_info: str, psize: int, ksize: int):
+    import jax
+    from .. import warm
+    manifest = warm.manifest_path(
+        f"{mo_info.split()[0].split(',')[0]}_pic{args.pic_cnt}_"
+        f"{jax.default_backend()}")
+    if not args.no_warm:
+        t0 = time.time()
+        loaded, skipped = warm.warm_from_manifest(manifest)
+        if loaded:
+            print(f"warmed {loaded} programs ({skipped} skipped) in "
+                  f"{time.time() - t0:.1f}s", file=sys.stderr)
+
     t0 = time.time()
     C, vals = nn.create(make_source(args))
     witness_t = time.time() - t0
@@ -121,6 +136,8 @@ def run(nn, args, mo_info: str, psize: int, ksize: int):
     print(", ".join(row[c] for c in OUT_COLS) + ", ")
     print(f"witness generation {witness_t:.2f}s, prove {pt:.2f}s, "
           f"verify {vt:.2f}s, proof {ps_kb:.1f}KB", file=sys.stderr)
+    if not args.no_warm:
+        warm.save_manifest(manifest)
     return row
 
 

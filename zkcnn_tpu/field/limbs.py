@@ -595,8 +595,7 @@ class Field:
         # at vgg's 10^7-element input witness); 2^19-row pieces bound
         # the working set to ~0.5GB
         if not hasattr(self, "_to_mont_jit"):
-            self._to_mont_jit = jax.jit(
-                lambda x, r2: self.mul(x, jnp.broadcast_to(r2, x.shape)))
+            self._to_mont_jit = _to_mont_prog(self.name)
         r2 = jnp.asarray(self.r2_limbs)
         flat = plain.reshape(-1, self.n)
         ch = 1 << 19
@@ -628,8 +627,7 @@ class Field:
             plain[..., i] = (rem & 0xFFFF).astype(np.uint32)
             rem = rem >> 16
         if not hasattr(self, "_to_mont_jit"):
-            self._to_mont_jit = jax.jit(
-                lambda x, r2: self.mul(x, jnp.broadcast_to(r2, x.shape)))
+            self._to_mont_jit = _to_mont_prog(self.name)
         r2 = jnp.asarray(self.r2_limbs)
         flat = plain.reshape(-1, self.n)
         ch = 1 << 19
@@ -657,3 +655,19 @@ from .params import FR_P, FP_P  # noqa: E402
 
 FR = Field(FR_P, "Fr")
 FP = Field(FP_P, "Fp")
+
+from ..warm import zjit, register_factory  # noqa: E402
+
+
+@register_factory("field.limbs._to_mont_prog")
+@lru_cache(maxsize=4)
+def _to_mont_prog(field_name: str):
+    """Jitted chunked to-Montgomery multiply for a named field
+    (warm-replayable; `self`-closures would not resolve from a
+    manifest)."""
+    fld = {"Fr": FR, "Fp": FP}[field_name]
+    return zjit(lambda x, r2: fld.mul(x, jnp.broadcast_to(r2, x.shape)),
+                key="field.limbs._to_mont_prog",
+                factory_args=(field_name,))
+
+

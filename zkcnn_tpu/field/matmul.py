@@ -21,9 +21,10 @@ import jax.numpy as jnp
 
 from .limbs import FR, _split8, _shift_matrix8_flat, _resolve8, resolve, \
     add_base16
+from ..warm import zjit
 
 
-@partial(jax.jit, static_argnums=())
+@partial(zjit, static_argnums=())
 def _mm_tile(a8, b8, M8):
     """a8: [M, C, T, 2n8] bf16-ready planes; b8: [C, T, N, 2n8];
     -> (cols_lo, cols_hi) uint32 [M, N, 64] summed over all of k."""
@@ -44,7 +45,7 @@ def _mm_tile(a8, b8, M8):
         jnp.sum(hi, axis=0, dtype=jnp.uint32)
 
 
-@jax.jit
+@zjit
 def _mm_finish(cols_lo, cols_hi):
     w = 2 * FR.n + 3
     Ls = _resolve8(cols_lo, w)
@@ -94,7 +95,7 @@ def field_batched_matmul(A, B, t_chunk: int = 64):
         B = jnp.pad(B, ((0, 0), (0, C * Tc - K), (0, 0), (0, 0)))
     M8 = jnp.asarray(_shift_matrix8_flat(2 * FR.n, 4 * FR.n))
 
-    @jax.jit
+    @zjit
     def tile(a, b):
         a8 = _split8(a).reshape(-1, M, C, Tc, 2 * FR.n)
         b8 = _split8(b).reshape(-1, C, Tc, N, 2 * FR.n)

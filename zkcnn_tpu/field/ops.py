@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from .params import LIMB_BITS, LIMB_MASK
 from .limbs import FR, add_base16, resolve
+from ..warm import zjit
 
 _MASK8 = np.uint32(0xFF)  # host constant (see limbs.py _MASK note)
 
@@ -56,7 +57,7 @@ class SignedView:
         from .params import to_limbs
         self.half_limbs = np.array(to_limbs(half, f.n), np.uint32)
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(zjit, static_argnums=0)
     def split(self, x_mont):
         """-> (neg [...] bool, abs_plain [..., n] plain-form limbs)."""
         f = self.f
@@ -71,7 +72,7 @@ class SignedView:
                                 extra_one=True)
         return neg, jnp.where(neg[..., None], p_minus, plain)
 
-    @partial(jax.jit, static_argnums=0)
+    @partial(zjit, static_argnums=0)
     def to_hilo(self, x_mont):
         """-> (neg, hi32, lo32): |v| as two uint32 words (exact for
         |v| < 2^64)."""
@@ -94,6 +95,9 @@ class SignedView:
 
 SIGNED_FR = SignedView(FR)
 
+from ..warm import register_static  # noqa: E402
+register_static("SIGNED_FR", SIGNED_FR)
+
 
 def bits_to_mont(bits):
     """0/1 uint32 tensor [...] -> Montgomery limbs [..., n] (0 -> 0,
@@ -104,7 +108,7 @@ def bits_to_mont(bits):
     return out
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(zjit, static_argnums=(2,))
 def segment_sum_field(vals, seg_ids, num_segments: int):
     """Exact modular scatter-add: out[s] = sum of vals[i] with
     seg_ids[i] == s.  vals: [G, n] Montgomery limbs; out [S, n].

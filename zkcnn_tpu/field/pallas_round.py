@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .limbs import FR, add_base16, _resolve8
 from .params import LIMB_BITS
+from ..warm import zjit
 
 N = 16                      # FR limbs
 NP = 32                     # 8-bit planes per element
@@ -515,7 +516,7 @@ def cubic_supported(K: int, M: int) -> bool:
             and (M >= TILE or TILE % M == 0))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(zjit, static_argnames=("interpret",))
 def cubic_round_step(m, V0, V1, r_pack, interpret: bool = False):
     """One fused DOT_PROD cubic round:
     -> (coeffs [4, 16] Montgomery (c0..c3), m2, V02, V12).
@@ -545,7 +546,7 @@ def cubic_round_step(m, V0, V1, r_pack, interpret: bool = False):
     return jnp.stack([c0, c1, c2, c3]), m2, V02, V12
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(zjit, static_argnames=("interpret",))
 def round_step(A, V, r_pack, interpret: bool = False):
     """One fused sumcheck round on [m, 16] Montgomery operands:
     -> (dots [4, 16] (D00, D01, D10, D11), A2 [m/2, 16], V2 [m/2, 16]).

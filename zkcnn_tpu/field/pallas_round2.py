@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .limbs import FR, _resolve8
 from .pallas_round import _bf16, _u32, _shift_lanes
+from ..warm import zjit
 
 N = 16                      # FR limbs (base 2^16)
 RW = 40                     # RED columns (base 2^8)
@@ -80,7 +81,7 @@ def _red_cols(Xp):
     return xi[..., :RW] + (xi[..., RW:] << 8)
 
 
-@jax.jit
+@zjit
 def red_to_mont(Xp):
     """[.., 80] REDP -> [.., 16] canonical Montgomery limbs."""
     limbs = _resolve8(_red_cols(Xp), 20)     # value < 2^267 -> 17 limbs
@@ -146,7 +147,7 @@ def _cweights_np():
                       np.float32)
 
 
-@jax.jit
+@zjit
 def _scalar_T(s_mont):
     """[16] canonical Montgomery scalar -> [80, 72] f32 fold-Toeplitz:
     row (j*40+k) = byte plane j of input column k (digit k+j), column
@@ -310,7 +311,7 @@ def supported2(m: int) -> bool:
     return m % TILE2 == 0 and m <= (1 << 25)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(zjit, static_argnames=("interpret",))
 def round_step2(A_red, V_red, r_pack, interpret: bool = False):
     """One fused round on REDP operands [m, 80] bf16:
     -> (dots [4, 16] Montgomery, A2 [m/2, 80], V2 [m/2, 80])."""

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..field import FR
 from ..field.params import FR_P
 from ..mle import fold, coeffs_quadratic_dots, coeffs_from_dots
+from ..warm import zjit
 
 
 def _host(x) -> int:
@@ -229,7 +230,7 @@ class PhaseEngine:
         return s.final_V_dev()
 
 
-@jax.jit
+@zjit
 def _cubic_terms(m, V1, V0):
     """Pair-linear triple product coefficients for the DOT_PROD phase.
 

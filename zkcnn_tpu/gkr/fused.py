@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from ..field import FR
 from ..mle import fold, coeffs_quadratic_dots
+from ..warm import zjit, register_factory
 
 
 def _pallas_version() -> int:
@@ -129,6 +130,7 @@ def _ladder_enabled() -> bool:
     return os.environ.get("ZKCNN_TPU_LADDER", "1") == "1"
 
 
+@register_factory("gkr.fused._quad_ladder")
 @lru_cache(maxsize=64)
 def _quad_ladder(k: int, pallas_v: int):
     """One side, LSTEP rounds at size 2^k: (A, V, rs [LSTEP, n]) ->
@@ -161,9 +163,10 @@ def _quad_ladder(k: int, pallas_v: int):
             A, V = red_to_mont(A), red_to_mont(V)
         return jnp.stack(dots), A, V
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._quad_ladder", factory_args=(k, pallas_v))
 
 
+@register_factory("gkr.fused._quad_tail")
 @lru_cache(maxsize=16)
 def _quad_tail(k: int):
     """The final k (< LSTEP) rounds of a side (tiny sizes; XLA)."""
@@ -177,7 +180,7 @@ def _quad_tail(k: int):
             dots.append(d)
         return jnp.stack(dots), A, V
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._quad_tail", factory_args=(k,))
 
 
 def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
@@ -195,6 +198,7 @@ def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
     return stacks, A, V
 
 
+@register_factory("gkr.fused._prep_side")
 @lru_cache(maxsize=256)
 def _prep_side(parts: tuple):
     """Concat a side's dot stacks, zero-pad to RMAX rounds, and form
@@ -211,9 +215,10 @@ def _prep_side(parts: tuple):
             d = jnp.zeros((RMAX, 4, FR.n), jnp.uint32)
         return d, FR.mul(A[0], V[0])
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._prep_side", factory_args=(parts,))
 
 
+@register_factory("gkr.fused._combine_prog")
 @lru_cache(maxsize=4)
 def _combine_prog(inc_add: bool):
     """THE universal round-poly assembler: one lax.scan over RMAX round
@@ -247,7 +252,7 @@ def _combine_prog(inc_add: bool):
         add_out, polys = jax.lax.scan(body, add0, (js, d0, d1, rs))
         return polys, add_out
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._combine_prog", factory_args=(inc_add,))
 
 
 def run_quad_phase_ladder(sides, add_dev, rs, include_add_term: bool):
@@ -279,6 +284,7 @@ def run_quad_phase_ladder(sides, add_dev, rs, include_add_term: bool):
     return polys, finals
 
 
+@register_factory("gkr.fused._fused_quad")
 @lru_cache(maxsize=256)
 def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
                 pallas_v: int):
@@ -367,9 +373,10 @@ def _fused_quad(R: int, nb0: int, nb1: int, inc_add: bool,
         return (jnp.stack(polys), sides[0][0], sides[0][1],
                 sides[1][0], sides[1][1], add)
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._fused_quad", factory_args=(R, nb0, nb1, inc_add, pallas_v))
 
 
+@register_factory("gkr.fused._fused_cubic")
 @lru_cache(maxsize=64)
 def _fused_cubic(R: int, fft_bl: int, use_pallas: bool):
     """One CHUNK of rounds of the DOT_PROD cubic phase 1
@@ -409,9 +416,10 @@ def _fused_cubic(R: int, fft_bl: int, use_pallas: bool):
                 V0, V1 = st[0], st[1]
         return jnp.stack(polys), m, V0, V1
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._fused_cubic", factory_args=(R, fft_bl, use_pallas))
 
 
+@register_factory("gkr.fused._fused_mle_eval")
 @lru_cache(maxsize=64)
 def _fused_mle_eval(R: int):
     """All R folds of an MLE evaluation in one program (prover::Vres
@@ -422,7 +430,7 @@ def _fused_mle_eval(R: int):
             X = fold(X, rs[j])
         return X[0]
 
-    return jax.jit(run)
+    return zjit(run, key="gkr.fused._fused_mle_eval", factory_args=(R,))
 
 
 def pack_challenges(rs: List[int]):

@@ -27,6 +27,7 @@ from ..field import FR
 from ..field.ops import segment_sum_field
 from ..circuit.ir import UNI_G, UNI_U, UNI_LU, UNI_SC, \
     BIN_G, BIN_U, BIN_V, BIN_SC, BIN_L
+from ..warm import zjit
 
 PAD_SENTINEL = 1 << 30
 
@@ -69,14 +70,14 @@ GATE_CHUNK = 1 << 19   # gate rows per init/predicate device program.
                        # the gathers, bounds the working set
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(zjit, static_argnums=(2,))
 def dyn_chunk(arr, start, size: int):
     """[rows, k] -> [size, k] window at `start` (device DMA; one
     program per (rows, size, k) signature, start is traced)."""
     return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+@partial(zjit, donate_argnums=(0,), static_argnums=(1,))
 def p1_uni_acc(acc, sc0: bool, bg, tm, uni):
     """acc[u] += beta_g[g]*two_mul[sc] for one uni-gate chunk
     (chunked variant of the p1_mult uni term)."""
@@ -87,7 +88,7 @@ def p1_uni_acc(acc, sc0: bool, bg, tm, uni):
                                          acc.shape[0]))
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(1, 2))
+@partial(zjit, donate_argnums=(0,), static_argnums=(1, 2))
 def p1_bin_acc(acc, vb: int, sc0: bool, bg, tm, gates, ori_v, val0,
                prev):
     """acc[u] += beta_g[g]*V_v*two_mul[sc] for one bin-gate chunk
@@ -105,7 +106,7 @@ def p1_bin_acc(acc, vb: int, sc0: bool, bg, tm, gates, ori_v, val0,
                                          acc.shape[0]))
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(1,))
+@partial(zjit, donate_argnums=(0,), static_argnums=(1,))
 def p2_bin_acc(acc, sc0: bool, bg, beta_u, tm, gates, vu):
     """acc[v] += beta_g[g]*beta_u[u]*V_u*two_mul[sc] for one bin-gate
     chunk (chunked variant of the p2_mult term)."""
@@ -120,7 +121,7 @@ def p2_bin_acc(acc, sc0: bool, bg, beta_u, tm, gates, vu):
                                          acc.shape[0]))
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(zjit, static_argnums=(0, 1))
 def p1_mult(total: int, sc0_flags, bg, tm, uni, bin_v0, bin_v1,
             ori_v, val0, prev):
     """Phase-1 mult_array for one u-side (reference prover.cpp:224-233):
@@ -240,7 +241,7 @@ def pred_bin_chunked(use_tm: bool, bg, beta_u, beta_v, tm, gates,
     return out
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(zjit, static_argnums=(0,))
 def gather_pad(total: int, ori, val0):
     """V-operand for an input-subset side: val0[ori], zero-padded to
     total rows (reference getCirValue at lu==0, prover.cpp:499-501)."""
@@ -250,7 +251,7 @@ def gather_pad(total: int, ori, val0):
     return V[:total]
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(zjit, static_argnums=(0, 1))
 def p2_mult(total: int, sc0_flags, bg, beta_u, tm, bin_u0, bin_u1,
             vu0, vu1):
     """Phase-2 mult_array for one v-side (reference prover.cpp:286-305):
@@ -275,7 +276,7 @@ def p2_mult(total: int, sc0_flags, bg, beta_u, tm, bin_u0, bin_u1,
     return segment_sum_field(vals, seg, total)
 
 
-@jax.jit
+@zjit
 def p2_uni_add_term(bg, beta_u, tm, uni, n_valid, vu):
     """Phase-2 uni-gate contribution to add_term (prover.cpp:286-291):
     sum_g beta_g[g]*beta_u[u]*tm[sc]*V_u.  Dot path -> mask pads."""
@@ -288,7 +289,7 @@ def p2_uni_add_term(bg, beta_u, tm, uni, n_valid, vu):
     return FR.sum(c, axis=-2)
 
 
-@jax.jit
+@zjit
 def zero_region_scale(bg, rr, zero_start):
     """Scale the >= zero_start region by relu_rou (prover.cpp:221-222,
     verifier.cpp:76-78); zero_start is a device scalar."""
@@ -297,7 +298,7 @@ def zero_region_scale(bg, rr, zero_start):
     return jnp.where(mask[:, None], scaled, bg)
 
 
-@jax.jit
+@zjit
 def mul_outer_flat(a, b):
     """[A, n] x [B, n] -> [A*B, n] products (PADDING beta cross table,
     prover.cpp:214-219 / verifier.cpp:81-88)."""
@@ -305,14 +306,14 @@ def mul_outer_flat(a, b):
         a.shape[0] * b.shape[0], FR.n)
 
 
-@jax.jit
+@zjit
 def contract_counts(prev, bg):
     """FFT/IFFT phase-1 V: contract count dims (prover.cpp:185-197):
     prev [cnt, L, n] dot bg [cnt, n] over cnt -> [L, n]."""
     return FR.dot_mont(prev, bg[:, None, :], axis=0)
 
 
-@jax.jit
+@zjit
 def pred_uni(bg, beta_u, tm, uni, n_valid):
     """Verifier predicatePhase1 uni term (verifier.cpp:89-102):
     sum beta_g[g]*tm[sc]*beta_u[u].  Dot path -> mask pads."""
@@ -324,7 +325,7 @@ def pred_uni(bg, beta_u, tm, uni, n_valid):
                                           beta_u.shape[0] - 1)])
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(zjit, static_argnums=(0,))
 def pred_bin(use_tm: bool, bg, beta_u, beta_v, tm, gates, n_valid):
     """Verifier predicatePhase2 bin term for one (ub, vb, l) gate group
     (verifier.cpp:104-116): sum beta_g[g]*beta_u[u]*tm[sc]*beta_v[v]."""
@@ -338,7 +339,7 @@ def pred_bin(use_tm: bool, bg, beta_u, beta_v, tm, gates, n_valid):
                                           beta_v.shape[0] - 1)])
 
 
-@jax.jit
+@zjit
 def gr_term(beta_g, ori, bu, n_valid):
     """Liu-phase subset predicate term (verifier.cpp:307-333):
     sum_j beta_g[ori[j]] * bu[j] over the valid prefix."""
@@ -349,7 +350,7 @@ def gr_term(beta_g, ori, bu, n_valid):
     return FR.dot_mont(c, b)
 
 
-@partial(jax.jit, static_argnums=(3,))
+@partial(zjit, static_argnums=(3,))
 def dotprod_p1_V0_gates(bg, prev_rows, gates, total_rows: int):
     """DOT_PROD phase-1 per-gate V0 build (prover.cpp:57-101 fallback
     when no structural dims): V0[u*L+t] += beta_g[g] * prev[v*L+t]."""
@@ -366,7 +367,7 @@ def dotprod_p1_V0_gates(bg, prev_rows, gates, total_rows: int):
                              seg.reshape(-1), total_rows)
 
 
-@jax.jit
+@zjit
 def dotprod_p2_mult(bg, beta_u, vu1, gates, total_dummy, prev, beta_gs):
     """DOT_PROD phase-2 (prover.cpp:272-305): V1 = contract prev rows
     with the fft beta table; mult1[v] += beta_g[g]*beta_u[u]*V_u1."""

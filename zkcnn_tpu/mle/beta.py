@@ -24,9 +24,10 @@ import jax.numpy as jnp
 
 from ..field import FR, root_of_unity
 from ..field.params import FR_P
+from ..warm import zjit
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(zjit, static_argnums=(0,))
 def _beta_expand(ell: int, r_pack, init_pack):
     """Doubling build: B_{k+1} = [B_k*(1-r_k), B_k*r_k] (bit k = high)."""
     B = init_pack[None, :]
@@ -44,7 +45,7 @@ def _beta_expand(ell: int, r_pack, init_pack):
 _BETA_JIT_MAX = 20
 
 
-@jax.jit
+@zjit
 def _beta_scale_block(B, s):
     return FR.mul(B, jnp.broadcast_to(s, B.shape))
 
@@ -100,7 +101,7 @@ def _omega_powers(n_bits: int, inverse: bool):
     return np.asarray(FR.pack_mont_host(pows))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(zjit, static_argnums=(0, 1, 2))
 def _phi_build(n_bits: int, inverse: bool, out_bits: int, pw, c0, c1, scale):
     """prod over k of (c0_k + c1_k * omega^(u*2^k)) for u in [0, 2^out_bits)."""
     N = 1 << n_bits

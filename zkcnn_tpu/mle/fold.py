@@ -25,9 +25,10 @@ import jax.numpy as jnp
 
 from ..field import FR
 from ..field.params import FR_P
+from ..warm import zjit
 
 
-@jax.jit
+@zjit
 def fold(X, r_pack):
     """[2m, n] -> [m, n]: X'_i = (1-r)*X_{2i} + r*X_{2i+1}.
 
@@ -41,7 +42,7 @@ def fold(X, r_pack):
     return FR.lincomb2_scalar(e, o, s0, r_pack)
 
 
-@jax.jit
+@zjit
 def coeffs_quadratic_dots(A, V):
     """The four pair inner products (D00, D01, D10, D11) with
     D_xy = sum_i A_{2i+x} * V_{2i+y}, as Montgomery limb vectors.
@@ -66,7 +67,7 @@ def coeffs_from_dots(d) -> tuple:
     return c0, c1, c2
 
 
-@jax.jit
+@zjit
 def coeffs_quadratic(A, V):
     """Round message coefficients (c0, c1, c2) of
     h(x) = sum_i (A_{2i} + x(A_{2i+1}-A_{2i})) (V_{2i} + x(V_{2i+1}-V_{2i})).

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..field import FR, root_of_unity
 from ..field.params import FR_P
+from ..warm import zjit
 
 
 @lru_cache(maxsize=32)
@@ -38,7 +39,7 @@ def _plan(logn: int, inverse: bool):
     return rev, np.asarray(FR.pack_mont_host(pows))
 
 
-@partial(jax.jit, static_argnums=(1, 2))
+@partial(zjit, static_argnums=(1, 2))
 def _ntt_core(x, logn: int, inverse: bool, rev, tw):
     """x: [batch, N, n_limbs] -> same shape, DFT along axis 1."""
     N = 1 << logn

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..field.limbs import FP
 from ..field.params import FP_P
+from ..warm import zjit
 
 # curve: y^2 = x^3 + 4
 G1_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
@@ -53,7 +54,7 @@ def _is_zero(v):
     return ~jnp.any(v != 0, axis=-1)
 
 
-@jax.jit
+@zjit
 def pdouble(p):
     """Jacobian doubling, a = 0 curve.  Handles infinity (Z=0) and
     Y = 0 (-> infinity) implicitly: 2*inf = inf since Z3 = 2YZ = 0."""
@@ -76,7 +77,7 @@ def pdouble(p):
     return jnp.stack([X3, Y3, Z3], axis=-2)
 
 
-@jax.jit
+@zjit
 def padd(p, q):
     """Complete-in-practice Jacobian addition with edge handling:
     p + inf, inf + q, p == q (double), p == -q (infinity)."""
@@ -116,7 +117,7 @@ def padd(p, q):
     return out
 
 
-@jax.jit
+@zjit
 def pneg(p):
     Y = FP.neg(p[..., 1, :])
     return p.at[..., 1, :].set(Y)
@@ -134,7 +135,7 @@ def tree_sum(pts):
     return pts[0]
 
 
-@partial(jax.jit, static_argnums=(2,))
+@partial(zjit, static_argnums=(2,))
 def _scalar_mul_steps(pt, bits, nbits: int):
     def body(i, acc):
         acc = pdouble(acc)

@@ -33,6 +33,7 @@ from ..field.limbs import FR, FP, add_base16, resolve, mul_wide, mul_low, \
     _MASK
 from ..field.params import FR_P, to_limbs
 from . import curve
+from ..warm import zjit
 
 MAX_DIGIT = 128          # signed radix-256 digit magnitudes
 HALF_WINDOWS = 17        # 16 byte windows per 128-bit GLV half + carry
@@ -64,7 +65,7 @@ def build_table(points, max_digit: int = MAX_DIGIT):
     return rows
 
 
-@jax.jit
+@zjit
 def _signed_digits(halves):
     """[..., 8] plain uint32 limbs (value < 2^128) -> [..., 17] int32
     signed radix-256 digits in [-128, 127] (window 16 is the carry)."""
@@ -90,7 +91,7 @@ def _sub_wide(a, b):
     return s, carry > 0
 
 
-@jax.jit
+@zjit
 def glv_split(plain):
     """[..., 16] plain Fr limbs -> (k1, k2) [..., 8] plain limbs with
     k = k1 + lambda*k2, k1 < lambda, k2 < 2^128."""
@@ -109,7 +110,7 @@ def glv_split(plain):
     return k1[..., :8], q[..., :8]
 
 
-@jax.jit
+@zjit
 def _window_sum(table, digits):
     """digits [R, 2N] signed (first N for P, last N for phi(P)) ->
     sum_i digits[r,i] * base_i as [R, 3, n]."""
@@ -135,14 +136,14 @@ def _window_sum(table, digits):
     return pts[:, 0]
 
 
-@jax.jit
+@zjit
 def _horner_step(acc, w):
     for _ in range(8):
         acc = curve.pdouble(acc)
     return curve.padd(acc, w)
 
 
-@jax.jit
+@zjit
 def _digits_of(scalars_mont):
     """[..., 16] Montgomery scalars -> [..., doubled-N..., 17] signed
     digits: REDC out of Montgomery, GLV split, radix-256 recode."""
@@ -195,7 +196,7 @@ class FixedBaseMSM:
         return acc
 
 
-@jax.jit
+@zjit
 def points_equal(p, q):
     """Jacobian equality: cross-multiplied affine comparison."""
     X1, Y1, Z1 = p[..., 0, :], p[..., 1, :], p[..., 2, :]
