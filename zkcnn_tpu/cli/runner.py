@@ -92,6 +92,7 @@ def run(nn, args, mo_info: str, psize: int, ksize: int):
                 f.write(f"{k}\n")
 
     p = Prover(C, vals)
+    p.prefetch()
     pcs = None if args.no_pcs else HyraxPCS()
     log = (lambda *a: print(*a, file=sys.stderr)) if args.log \
         else (lambda *a: None)
@@ -138,6 +139,7 @@ def run(nn, args, mo_info: str, psize: int, ksize: int):
           f"verify {vt:.2f}s, proof {ps_kb:.1f}KB", file=sys.stderr)
     if not args.no_warm:
         warm.save_manifest(manifest)
+        warm.save_blobs(manifest)
     return row
 
 

@@ -41,6 +41,7 @@ _FACTORIES: Dict[str, Any] = {}
 _RECORDED: Dict[str, dict] = {}      # sig-json -> entry (ordered, deduped)
 _LOCK = threading.Lock()
 _WARMED: set = set()                 # sig-jsons already replayed this process
+STATS = {"hit": 0, "miss": 0, "fail": 0}   # AOT dispatch counters
 
 # modules whose import registers every factory/kernel used by a proof;
 # warm_from_manifest imports them before resolving entries
@@ -139,9 +140,15 @@ def _dummy_of_sig(s):
 class _Wrapped:
     """jax.jit with call-signature recording.  ``key`` identifies the
     program source: ("module.fn", ()) for module-level functions, or
-    (factory name, factory args) for factory-built closures."""
+    (factory name, factory args) for factory-built closures.
 
-    __slots__ = ("_jit", "key", "statics")
+    ``_compiled`` maps signature-json -> an AOT-compiled executable
+    rebuilt from an export blob (see warm_from_manifest); calls whose
+    signature matches dispatch straight to it, skipping the pjit
+    trace/lower path entirely (the dominant cold-process cost on
+    GIL-bound hosts)."""
+
+    __slots__ = ("_jit", "key", "statics", "static_names", "_compiled")
 
     def __init__(self, fn, key: Tuple[str, tuple], jit_kwargs: dict):
         import jax
@@ -151,21 +158,46 @@ class _Wrapped:
         if isinstance(sa, int):
             sa = (sa,)
         self.statics = set(sa or ())
+        sn = jit_kwargs.get("static_argnames", ())
+        if isinstance(sn, str):
+            sn = (sn,)
+        self.static_names = set(sn or ())
+        self._compiled = {}
+
+    def _sig_json(self, args, kwargs) -> Tuple[str, dict]:
+        sig = [(["s", _enc_static(a)] if i in self.statics
+                else _sig_of_value(a))
+               for i, a in enumerate(args)]
+        ksig = {k: _sig_of_value(v) for k, v in sorted(kwargs.items())}
+        entry = {"f": self.key[0], "fa": list(self.key[1]),
+                 "sig": sig, "kw": ksig}
+        return json.dumps(entry, separators=(",", ":")), entry
 
     def __call__(self, *args, **kwargs):
+        j = None
         try:
-            sig = [(["s", _enc_static(a)] if i in self.statics
-                    else _sig_of_value(a))
-                   for i, a in enumerate(args)]
-            ksig = {k: _sig_of_value(v) for k, v in sorted(kwargs.items())}
-            entry = {"f": self.key[0], "fa": list(self.key[1]),
-                     "sig": sig, "kw": ksig}
-            j = json.dumps(entry, separators=(",", ":"))
+            j, entry = self._sig_json(args, kwargs)
             if j not in _RECORDED:
                 with _LOCK:
                     _RECORDED.setdefault(j, entry)
         except Exception:
             pass    # recording must never break the call
+        if j is not None and self._compiled:
+            comp = self._compiled.get(j)
+            if comp is not None:
+                try:
+                    out = comp(
+                        *[a for i, a in enumerate(args)
+                          if i not in self.statics],
+                        **{k: v for k, v in kwargs.items()
+                           if k not in self.static_names})
+                    STATS["hit"] += 1
+                    return out
+                except Exception:
+                    del self._compiled[j]   # shape/placement drift:
+                    STATS["fail"] += 1      # fall back to pjit path
+            else:
+                STATS["miss"] += 1
         return self._jit(*args, **kwargs)
 
     def lower(self, *a, **k):
@@ -237,10 +269,20 @@ def _resolve(entry: dict):
     if name in _FACTORIES:
         fn = _FACTORIES[name](*fa)
     else:
-        mod, _, attr = name.rpartition(".")
         import importlib
-        obj = importlib.import_module(mod)
-        fn = getattr(obj, attr)
+        parts = name.split(".")
+        obj = None
+        for cut in range(len(parts) - 1, 0, -1):
+            try:
+                obj = importlib.import_module(".".join(parts[:cut]))
+                break
+            except ImportError:
+                continue
+        if obj is None:
+            raise ImportError(name)
+        for attr in parts[cut:]:
+            obj = getattr(obj, attr)
+        fn = obj
     if not isinstance(fn, _Wrapped):
         raise TypeError(f"{name} is not zjit-wrapped")
     args = [(_dec_static(s[1]) if s[0] == "s" else _dummy_of_sig(s))
@@ -252,6 +294,13 @@ def _resolve(entry: dict):
 def warm_from_manifest(path: str, threads: int = 32,
                        verbose: bool = False) -> Tuple[int, int]:
     """Pre-load every program in the manifest with a thread pool.
+
+    Entries with an export blob (save_blobs) skip Python tracing
+    entirely: the blob deserializes in C++ and compiles through the
+    persistent cache, and the resulting AOT executable is installed on
+    the wrapped program for direct dispatch.  Entries without a blob
+    fall back to a dummy first-call (pays one trace+lower inline).
+
     Returns (loaded, skipped).  Safe to call multiple times; entries
     already warmed this process are skipped for free."""
     if not os.path.exists(path):
@@ -267,8 +316,24 @@ def warm_from_manifest(path: str, threads: int = 32,
 
     def one(line: str) -> bool:
         try:
-            fn, args, kwargs = _resolve(json.loads(line))
-            fn(*args, **kwargs)
+            entry = json.loads(line)
+            fn, args, kwargs = _resolve(entry)
+            bp = _blob_path(path, line)
+            if isinstance(fn, _Wrapped) and os.path.exists(bp):
+                with open(bp, "rb") as bf:
+                    comp = _compile_blob(fn, entry, bf.read())
+                # first-execute with dummies NOW: the tunnel finalizes
+                # a program server-side on its first run (~0.5-2s),
+                # and that cost overlaps across warm threads
+                import jax
+                jax.block_until_ready(comp(
+                    *[a for i, a in enumerate(args)
+                      if i not in fn.statics],
+                    **{k: v for k, v in kwargs.items()
+                       if k not in fn.static_names}))
+                fn._compiled[line] = comp
+            else:
+                fn(*args, **kwargs)
             return True
         except Exception as e:
             if verbose:
@@ -281,6 +346,129 @@ def warm_from_manifest(path: str, threads: int = 32,
         results = list(ex.map(one, todo))
     _WARMED.update(todo)
     return sum(results), len(results) - sum(results)
+
+
+_CODE_FP: Optional[str] = None
+
+
+def _code_fingerprint() -> str:
+    """Content hash of the package's Python sources.  Blob artifacts
+    are AOT-frozen programs: after ANY source change they could silently
+    serve stale code, so they are keyed by this fingerprint and a code
+    change orphans them (the pjit fallback path takes over until new
+    blobs are saved)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+        h = hashlib.sha256()
+        root = os.path.dirname(os.path.abspath(__file__))
+        # only modules whose source becomes traced program bodies --
+        # driver-layer files (prover/verifier/builder/cli/warm) feed
+        # arguments in, they don't change the jaxprs
+        prog_dirs = ("field", "mle", "ntt", "circuit", "pcs", "parallel")
+        prog_files = ("gkr/engine.py", "gkr/fused.py", "gkr/kernels.py")
+        paths = [os.path.join(root, f) for f in prog_files]
+        for d in prog_dirs:
+            dd = os.path.join(root, d)
+            if os.path.isdir(dd):
+                paths += [os.path.join(dd, f)
+                          for f in sorted(os.listdir(dd))
+                          if f.endswith(".py")]
+        for p in sorted(paths):
+            if os.path.exists(p):
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        import jax
+        h.update(jax.__version__.encode())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
+def _blob_dir(path: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(path)), "blobs",
+                        _code_fingerprint())
+
+
+def _blob_path(path: str, line: str) -> str:
+    import hashlib
+    h = hashlib.sha256(line.encode()).hexdigest()[:24]
+    return os.path.join(_blob_dir(path), h + ".mlir.zst")
+
+
+def _prune_stale_blobs(path: str):
+    """Drop blob dirs for other code fingerprints (orphaned AOT
+    artifacts; they can never be loaded again)."""
+    import shutil
+    base = os.path.join(os.path.dirname(os.path.abspath(path)), "blobs")
+    cur = _code_fingerprint()
+    if not os.path.isdir(base):
+        return
+    for d in os.listdir(base):
+        if d != cur:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+def _entry_dummies(fn: "_Wrapped", entry: dict):
+    args = [(_dec_static(s[1]) if s[0] == "s" else _dummy_of_sig(s))
+            for s in entry["sig"]]
+    kwargs = {k: _dummy_of_sig(v) for k, v in entry.get("kw", {}).items()}
+    return args, kwargs
+
+
+def save_blobs(path: str, verbose: bool = False) -> Tuple[int, int]:
+    """Serialize an AOT export blob for every manifest entry that lacks
+    one (jax.export StableHLO, zstd-compressed).  Run after a proof in
+    the recording process -- exporting re-lowers each program once.
+    Blobs are LOCAL artifacts (like .xla_cache), not for git: they are
+    machine/jax-version-specific and ~MBs each.  Returns
+    (written, failed)."""
+    import zstandard
+    from jax import export as jexport
+    if not os.path.exists(path):
+        return 0, 0
+    _prune_stale_blobs(path)
+    os.makedirs(_blob_dir(path), exist_ok=True)
+    cctx = zstandard.ZstdCompressor(level=6)
+    written = failed = 0
+    with open(path) as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    for line in lines:
+        bp = _blob_path(path, line)
+        if os.path.exists(bp):
+            continue
+        try:
+            entry = json.loads(line)
+            fn, args, kwargs = _resolve(entry)
+            ex = jexport.export(fn._jit)(*args, **kwargs)
+            blob = cctx.compress(ex.serialize())
+            tmp = bp + ".tmp"
+            with open(tmp, "wb") as bf:
+                bf.write(blob)
+            os.replace(tmp, bp)
+            written += 1
+        except Exception as e:
+            failed += 1
+            if verbose:
+                print(f"blob skip: {e}: {line[:100]}")
+    return written, failed
+
+
+def _compile_blob(fn: "_Wrapped", entry: dict, blob: bytes):
+    """Deserialized export -> AOT Compiled matching the entry's
+    signature (statics dropped -- they are baked into the module)."""
+    import jax
+    import zstandard
+    from jax import export as jexport
+    ex = jexport.deserialize(zstandard.ZstdDecompressor().decompress(blob))
+    args, kwargs = _entry_dummies(fn, entry)
+    call_args = [a for i, a in enumerate(args) if i not in fn.statics]
+    call_kwargs = {k: v for k, v in kwargs.items()
+                   if k not in fn.static_names}
+    comp = jax.jit(ex.call).lower(*call_args, **call_kwargs).compile()
+    # exactness guard: the exported module was specialized on the
+    # recorded signature, so a match here is structural
+    return comp
 
 
 def manifest_path(tag: str) -> str:
