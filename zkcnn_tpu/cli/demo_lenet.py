@@ -12,7 +12,8 @@ def main():
                     choices=["lenet", "lenet-cifar", "ccnn"])
     args = finish_args(ap.parse_args())
     nn, psize, ksize = build_model(args.model, args)
-    run(nn, args, f"{args.model} (relu)", psize, ksize)
+    run(nn, args, f"{args.model} (relu)", psize, ksize,
+        model_id=args.model)
 
 
 if __name__ == "__main__":

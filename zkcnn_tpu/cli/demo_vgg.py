@@ -20,10 +20,12 @@ def main():
         nn = model_zoo.vgg(32, 32, 3, args.pic_cnt, tokens)
         psize, ksize = 32, 3
         name = "vgg (config)"
+        mid = "vgg"
     else:
         nn, psize, ksize = build_model(args.model, args)
         name = f"{args.model} (relu)"
-    run(nn, args, name, psize, ksize)
+        mid = args.model
+    run(nn, args, name, psize, ksize, model_id=mid)
 
 
 if __name__ == "__main__":

@@ -68,12 +68,16 @@ def make_source(args) -> TensorSource:
     return csv_source(args.input_file)
 
 
-def run(nn, args, mo_info: str, psize: int, ksize: int):
+def run(nn, args, mo_info: str, psize: int, ksize: int,
+        model_id: str = None):
     import jax
+    # manifest tag from the structured model id, matching bench.py's
+    # naming (ADVICE r3: deriving it from the display string left CLI
+    # runs cold and forked parallel manifests)
     from .. import warm
+    mid = (model_id or mo_info.split()[0].split(",")[0]).lower()
     manifest = warm.manifest_path(
-        f"{mo_info.split()[0].split(',')[0]}_pic{args.pic_cnt}_"
-        f"{jax.default_backend()}")
+        f"{mid}_pic{args.pic_cnt}_{jax.default_backend()}")
     if not args.no_warm:
         t0 = time.time()
         loaded, skipped = warm.warm_from_manifest(manifest)
@@ -139,7 +143,10 @@ def run(nn, args, mo_info: str, psize: int, ksize: int):
           f"verify {vt:.2f}s, proof {ps_kb:.1f}KB", file=sys.stderr)
     if not args.no_warm:
         warm.save_manifest(manifest)
-        warm.save_blobs(manifest)
+        try:
+            warm.save_blobs(manifest)   # best-effort local AOT artifacts
+        except Exception as e:
+            print(f"blob save skipped: {e}", file=sys.stderr)
     return row
 
 

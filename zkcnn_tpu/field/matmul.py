@@ -13,7 +13,7 @@ formulation would materialize [gates * fft_len] intermediates, this
 one touches only [chunk] tiles.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .limbs import FR, _split8, _shift_matrix8_flat, _resolve8, resolve, \
     add_base16
-from ..warm import zjit
+from ..warm import zjit, register_factory
 
 
 @partial(zjit, static_argnums=())
@@ -81,22 +81,16 @@ def field_matmul(A, B, n_chunk: int = 1 << 14):
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
-def field_batched_matmul(A, B, t_chunk: int = 64):
-    """A [T, M, K, n] x B [T, K, N, n] -> [T, M, N, n]: independent
-    field matmuls per leading batch index (the DOT_PROD witness is one
-    [pic, ci] x [ci, co] product per frequency t)."""
-    T = A.shape[0]
-    M, K = A.shape[1], A.shape[2]
-    N = B.shape[2]
+@register_factory("field.matmul._bmm_tile")
+@lru_cache(maxsize=32)
+def _bmm_tile(M: int, C: int, N: int):
+    """Batched-matmul tile program, keyed by (M, k-chunks, N) -- a
+    stable factory so the warm manifest can replay it (the previous
+    inner closure re-traced on every field_batched_matmul call and
+    could not be warmed)."""
     Tc = 256
-    C = -(-K // Tc)
-    if K != C * Tc:
-        A = jnp.pad(A, ((0, 0), (0, 0), (0, C * Tc - K), (0, 0)))
-        B = jnp.pad(B, ((0, 0), (0, C * Tc - K), (0, 0), (0, 0)))
-    M8 = jnp.asarray(_shift_matrix8_flat(2 * FR.n, 4 * FR.n))
 
-    @zjit
-    def tile(a, b):
+    def tile(a, b, M8):
         a8 = _split8(a).reshape(-1, M, C, Tc, 2 * FR.n)
         b8 = _split8(b).reshape(-1, C, Tc, N, 2 * FR.n)
         O = jnp.einsum("bmcti,bctnj->bcmnij",
@@ -115,8 +109,26 @@ def field_batched_matmul(A, B, t_chunk: int = 64):
         hi = jnp.sum(hi, axis=1, dtype=jnp.uint32)
         return _mm_finish(lo, hi)
 
+    return zjit(tile, key="field.matmul._bmm_tile",
+                factory_args=(M, C, N))
+
+
+def field_batched_matmul(A, B, t_chunk: int = 64):
+    """A [T, M, K, n] x B [T, K, N, n] -> [T, M, N, n]: independent
+    field matmuls per leading batch index (the DOT_PROD witness is one
+    [pic, ci] x [ci, co] product per frequency t)."""
+    T = A.shape[0]
+    M, K = A.shape[1], A.shape[2]
+    N = B.shape[2]
+    Tc = 256
+    C = -(-K // Tc)
+    if K != C * Tc:
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, C * Tc - K), (0, 0)))
+        B = jnp.pad(B, ((0, 0), (0, C * Tc - K), (0, 0), (0, 0)))
+    M8 = jnp.asarray(_shift_matrix8_flat(2 * FR.n, 4 * FR.n))
+    tile = _bmm_tile(M, C, N)
     outs = []
     for s in range(0, T, t_chunk):
         e = min(T, s + t_chunk)
-        outs.append(tile(A[s:e], B[s:e]))
+        outs.append(tile(A[s:e], B[s:e], M8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

@@ -32,6 +32,7 @@ path (used by the Fiat-Shamir tape, whose challenges depend on
 absorbed messages and cannot be precomputed).
 """
 
+import os
 import time
 from typing import List, Optional
 
@@ -288,6 +289,11 @@ class Verifier:
                 rec["next_alpha"], rec["next_beta"] = alpha, beta
             recs["layers"].append(rec)
             p.release_gates(cur)     # big layers: free HBM gate copies
+            if os.environ.get("ZKCNN_TPU_PROFILE") == "1":
+                # sync profiling: block on this layer's last dispatch so
+                # the per-layer log line shows true device+dispatch time
+                import jax
+                jax.block_until_ready(rec.get("cv1", rec["cu1"]))
             self.log(f"dispatch layer {i:3d} {cur.ty.name:9s} "
                      f"bl={cur.bit_length} (t={time.perf_counter():.1f})")
 
@@ -371,6 +377,14 @@ class Verifier:
             rec["uni"] = list(self.uni_value)
             rec["bin"] = list(self.bin_value)
             self.p.release_gates(self.C.layers[i])
+            if os.environ.get("ZKCNN_TPU_PROFILE") == "1":
+                import jax
+                t0 = time.perf_counter()
+                jax.block_until_ready([v for v in rec["uni"] + rec["bin"]
+                                       if not isinstance(v, int)])
+                self.log(f"predicate layer {i:3d} "
+                         f"{self.C.layers[i].ty.name:9s} done "
+                         f"(t={time.perf_counter():.1f})")
 
         # Liu gr = subset predicate at the bound points (verifier.cpp:
         # 307-333), accumulated on device

@@ -74,7 +74,11 @@ def _sig_of_value(v) -> list:
     if isinstance(v, float):
         return ["float"]
     if isinstance(v, (tuple, list)):
-        return ["seq", [_sig_of_value(x) for x in v]]
+        # record the tuple-vs-list distinction: the pytree structure of
+        # a list differs from a tuple's, and warming the wrong one
+        # compiles a program the real call never hits (ADVICE r3)
+        return ["seq" if isinstance(v, tuple) else "lseq",
+                [_sig_of_value(x) for x in v]]
     shape = getattr(v, "shape", None)
     dtype = getattr(v, "dtype", None)
     if shape is not None and dtype is not None:
@@ -132,6 +136,8 @@ def _dummy_of_sig(s):
         return 0.0
     if kind == "seq":
         return tuple(_dummy_of_sig(x) for x in s[1])
+    if kind == "lseq":
+        return [_dummy_of_sig(x) for x in s[1]]
     if kind == "arr":
         return jnp.zeros(tuple(s[1]), dtype=s[2])
     raise ValueError(f"unreplayable signature {s}")
@@ -148,7 +154,8 @@ class _Wrapped:
     trace/lower path entirely (the dominant cold-process cost on
     GIL-bound hosts)."""
 
-    __slots__ = ("_jit", "key", "statics", "static_names", "_compiled")
+    __slots__ = ("_jit", "key", "statics", "static_names", "_compiled",
+                 "donated")
 
     def __init__(self, fn, key: Tuple[str, tuple], jit_kwargs: dict):
         import jax
@@ -162,6 +169,10 @@ class _Wrapped:
         if isinstance(sn, str):
             sn = (sn,)
         self.static_names = set(sn or ())
+        da = jit_kwargs.get("donate_argnums", ())
+        if isinstance(da, int):
+            da = (da,)
+        self.donated = tuple(da or ())
         self._compiled = {}
 
     def _sig_json(self, args, kwargs) -> Tuple[str, dict]:
@@ -194,7 +205,10 @@ class _Wrapped:
                     STATS["hit"] += 1
                     return out
                 except Exception:
-                    del self._compiled[j]   # shape/placement drift:
+                    # pop, not del: the 32-thread warm pool and tracer
+                    # contexts can race the same failing entry; eviction
+                    # must be idempotent (ADVICE r3)
+                    self._compiled.pop(j, None)
                     STATS["fail"] += 1      # fall back to pjit path
             else:
                 STATS["miss"] += 1
@@ -262,10 +276,15 @@ def save_manifest(path: str) -> int:
     return len(entries)
 
 
+def _deep_tuple(a):
+    """JSON round-trip turns nested tuples into lists; factory args are
+    hashable tuples all the way down (lru_cache keys -- ADVICE r3)."""
+    return tuple(_deep_tuple(x) for x in a) if isinstance(a, list) else a
+
+
 def _resolve(entry: dict):
     """Manifest entry -> (callable, dummy args, dummy kwargs)."""
-    name, fa = entry["f"], tuple(
-        tuple(a) if isinstance(a, list) else a for a in entry["fa"])
+    name, fa = entry["f"], _deep_tuple(entry["fa"])
     if name in _FACTORIES:
         fn = _FACTORIES[name](*fa)
     else:
@@ -465,7 +484,13 @@ def _compile_blob(fn: "_Wrapped", entry: dict, blob: bytes):
     call_args = [a for i, a in enumerate(args) if i not in fn.statics]
     call_kwargs = {k: v for k, v in kwargs.items()
                    if k not in fn.static_names}
-    comp = jax.jit(ex.call).lower(*call_args, **call_kwargs).compile()
+    # re-apply donate_argnums, re-indexed for the dropped statics, so
+    # accumulator kernels keep buffer reuse on the AOT path (ADVICE r3)
+    donate = tuple(
+        d - sum(1 for s in fn.statics if s < d)
+        for d in fn.donated if d not in fn.statics)
+    comp = jax.jit(ex.call, donate_argnums=donate or None).lower(
+        *call_args, **call_kwargs).compile()
     # exactness guard: the exported module was specialized on the
     # recorded signature, so a match here is structural
     return comp
