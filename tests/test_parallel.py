@@ -98,3 +98,37 @@ def test_sharded_proof_transcript_equality():
     with use_mesh(mesh):
         sharded = prove()
     assert base == sharded
+
+
+def test_sharded_pallas_ladder_matches_unsharded(monkeypatch):
+    """The shard_map Pallas ladder (mesh perf path) must produce
+    bit-identical dots and folded operands to the unsharded XLA ladder
+    (interpret mode stands in for the TPU kernel on the CPU mesh)."""
+    monkeypatch.setenv("ZKCNN_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("ZKCNN_TPU_PALLAS", "2")
+    from zkcnn_tpu.gkr.fused import (_run_side_ladder, _quad_ladder,
+                                     _sharded_kernel_ok, pack_challenges,
+                                     LSTEP)
+    from zkcnn_tpu.parallel.context import use_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, "hyper")
+    k = 15                       # local shard 2^12 = 2*TILE2: kernel path
+    assert _sharded_kernel_ok(mesh, 1 << k)
+    m = 1 << k
+    A = jnp.asarray(FR.pack_mont_host(rvec(m)))
+    V = jnp.asarray(FR.pack_mont_host(rvec(m)))
+    rs = pack_challenges(rvec(k))
+
+    stacks_ref, A_ref, V_ref = _run_side_ladder(A, V, k, rs, 0)
+
+    from zkcnn_tpu.parallel.context import shard_rows
+    with use_mesh(mesh):
+        As, Vs = shard_rows(A), shard_rows(V)
+        stacks_sh, A_sh, V_sh = _run_side_ladder(As, Vs, k, rs, 0)
+
+    ref = np.concatenate([np.asarray(s) for s in stacks_ref])
+    sh = np.concatenate([np.asarray(s) for s in stacks_sh])
+    np.testing.assert_array_equal(ref, sh)
+    np.testing.assert_array_equal(np.asarray(A_ref), np.asarray(A_sh))
+    np.testing.assert_array_equal(np.asarray(V_ref), np.asarray(V_sh))

@@ -183,13 +183,95 @@ def _quad_tail(k: int):
     return zjit(run, key="gkr.fused._quad_tail", factory_args=(k,))
 
 
+@lru_cache(maxsize=64)
+def _quad_ladder_sharded(mesh, k: int, interp: bool):
+    """Mesh variant of _quad_ladder: LSTEP rounds at global size 2^k,
+    operands sharded on the leading dim (high index bits) over the
+    mesh's hyper axis.  The v2 Pallas round kernel runs PER SHARD under
+    shard_map (the single-device Pallas programs GSPMD cannot
+    partition); the four pair dots are all_gather + FR.sum exact
+    modular reductions, so the result is bit-identical to the unsharded
+    kernel; folds stay shard-local (pairing touches index bit 0, inside
+    a contiguous block).  Rounds whose local shard drops below the
+    kernel tile fall back to the XLA kernels inside the same region.
+
+    This is the sharded path's performance leg (round-3 review: under
+    an active mesh the ladder previously always fell back to pure-XLA
+    kernels)."""
+    from jax.sharding import PartitionSpec as P
+    from ..field.pallas_round2 import (round_step2, supported2, to_red,
+                                       red_to_mont, TILE2)
+    from ..parallel.context import HYPER_AXIS
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def body(A, V, rs):
+        red = False
+        dots = []
+        for j in range(LSTEP):
+            m_loc = A.shape[0]
+            if m_loc >= 2 * TILE2 and supported2(m_loc):
+                if not red:
+                    A, V = to_red(A), to_red(V)
+                    red = True
+                d, A, V = round_step2(A, V, rs[j], interpret=interp)
+            else:
+                if red:
+                    A, V = red_to_mont(A), red_to_mont(V)
+                    red = False
+                d = coeffs_quadratic_dots(A, V)
+                st = fold(jnp.stack([A, V]), rs[j])
+                A, V = st[0], st[1]
+            # exact cross-chip reduction: gather the per-shard
+            # Montgomery partials, one modular sum (psum on raw limbs
+            # would not be a field reduction)
+            parts = jax.lax.all_gather(d, HYPER_AXIS)
+            dots.append(FR.sum(parts, axis=0))
+        if red:
+            A, V = red_to_mont(A), red_to_mont(V)
+        return jnp.stack(dots), A, V
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(HYPER_AXIS, None), P(HYPER_AXIS, None),
+                            P(None, None)),
+                  out_specs=(P(None, None, None),
+                             P(HYPER_AXIS, None), P(HYPER_AXIS, None)),
+                  check_vma=False)
+    return jax.jit(f)
+
+
+def _sharded_kernel_ok(mesh, m: int) -> bool:
+    """Whether the shard_map Pallas ladder applies at global size m."""
+    if os.environ.get("ZKCNN_TPU_PALLAS", "2") != "2":
+        return False
+    interp = os.environ.get("ZKCNN_TPU_PALLAS_INTERPRET") == "1"
+    try:
+        if jax.default_backend() != "tpu" and not interp:
+            return False
+    except Exception:
+        return False
+    from ..field.pallas_round2 import TILE2, supported2
+    D = mesh.devices.size
+    loc = m // D
+    return m % D == 0 and loc >= 2 * TILE2 and supported2(loc)
+
+
 def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
     """Chain ladder programs down a side's 2^nb hypercube; returns the
     per-round dot stacks and the fully-folded [1, n] operands."""
+    from ..parallel.context import active_mesh
+    mesh = active_mesh()
+    interp = os.environ.get("ZKCNN_TPU_PALLAS_INTERPRET") == "1"
     stacks = []
     j = 0
     while nb - j >= LSTEP:
-        d, A, V = _quad_ladder(nb - j, pv)(A, V, rs_dev[j: j + LSTEP])
+        if mesh is not None and _sharded_kernel_ok(mesh, 1 << (nb - j)):
+            fn = _quad_ladder_sharded(mesh, nb - j, interp)
+        else:
+            fn = _quad_ladder(nb - j, pv)
+        d, A, V = fn(A, V, rs_dev[j: j + LSTEP])
         stacks.append(d)
         j += LSTEP
     if nb - j:

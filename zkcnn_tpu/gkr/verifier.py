@@ -233,6 +233,7 @@ class Verifier:
         t0 = time.perf_counter()
         recs = self._prover_pass()
         self._fetch_transcript(recs)
+        self._recs = recs    # kept for diagnostics (transcript diff)
         # PT = wall clock of all prover dispatch + the transcript
         # materialization (reference prove_timer semantics: everything
         # the prover computes; the _timed per-method sums only measure

@@ -36,6 +36,7 @@ in layer order].
 """
 
 import math
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -488,9 +489,73 @@ class NeuralNetwork:
         layer.fft_bit_length = self._fft_bit_len()
         layer.scale = pow(1 << layer.fft_bit_length, FR_P - 2, FR_P)
         self.vals[lid] = eval_fft_layer(layer, self.vals[lid - 1])
-        # the IFFT output IS the integer conv result: read it back once
-        # so the downstream layers stay in the host integer domain
-        self.ivals[lid] = self._ints_from_dev(self.vals[lid], size)
+        # the IFFT output IS the integer conv result.  The downstream
+        # host replay only ever reads the valid strided conv positions
+        # (the ADD_BIAS gather), so compute those directly in int64 on
+        # the host instead of blocking on the device FFT chain -- the
+        # single device->host readback per conv was the witness-build
+        # latency floor (r3 verdict item 8).  The device tensors above
+        # stay fully async; nothing in the build waits on them.
+        iv = self._host_conv_ints(lid, size)
+        if iv is None or os.environ.get("ZKCNN_TPU_WITNESS_DEVICE") == "1":
+            iv = self._ints_from_dev(self.vals[lid], size)
+        elif os.environ.get("ZKCNN_TPU_CHECK_WITNESS") == "1":
+            dev = self._ints_from_dev(self.vals[lid], size)
+            read = np.zeros(size, bool)
+            read[self._conv_read_positions()] = True
+            assert (iv[read] == dev[read]).all(), \
+                "host conv disagrees with device IFFT at read positions"
+        self.ivals[lid] = iv
+
+    def _conv_read_positions(self):
+        """IFFT-slot indices the ADD_BIAS layer gathers (the valid
+        strided conv outputs; same index math as _add_bias_layer)."""
+        lenh = self._fft_len() >> 1
+        L = -self.padding
+        Rx, Ry = self.nx_in + self.padding, self.ny_in + self.padding
+        nyp = self.ny_padded_in
+        st = 1 << self.log_stride
+        xs = L + st * np.arange(self.nx_out)
+        ys = L + st * np.arange(self.ny_out)
+        pic, co_n = self.pic_parallel, self.channel_out
+        P, CO, X, Y = np.meshgrid(np.arange(pic), np.arange(co_n), xs, ys,
+                                  indexing="ij")
+        return ((P * co_n + CO) * lenh + (Rx - X - 1) * nyp
+                + (Ry - Y - 1)).ravel()
+
+    def _host_conv_ints(self, lid: int, size: int):
+        """Integer IFFT-layer values, computed as a direct strided int64
+        convolution on the host (exact; windows im2col + einsum).  Only
+        the ADD_BIAS-gathered positions are filled -- no other gate
+        reads this layer's integers (the proof's field tensors come
+        from the device NTT pipeline regardless).  Returns None when
+        the product bound could overflow int64 (caller falls back to
+        the exact device readback)."""
+        pic, ci_n, co_n = self.pic_parallel, self.channel_in, \
+            self.channel_out
+        nx, ny, m, pad = self.nx_in, self.ny_in, self.m, self.padding
+        st = 1 << self.log_stride
+        src = self.ival0_arr if lid - 4 == 0 else self.ivals[lid - 4]
+        try:
+            img = np.asarray(src[: pic * ci_n * nx * ny],
+                             np.int64).reshape(pic, ci_n, nx, ny)
+        except OverflowError:
+            return None           # object ints beyond int64: device path
+        ws = self.cur_conv.weight_start_id
+        w = np.asarray(self.ival0_arr[ws: ws + co_n * ci_n * m * m],
+                       np.int64).reshape(co_n, ci_n, m, m)
+        mi = int(np.abs(img).max()) if img.size else 0
+        mw = int(np.abs(w).max()) if w.size else 0
+        if mi * mw * m * m * ci_n >= (1 << 62):
+            return None
+        imgp = np.pad(img, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        win = np.lib.stride_tricks.sliding_window_view(
+            imgp, (m, m), axis=(2, 3))[:, :, ::st, ::st]
+        # win: [pic, ci, nx_out, ny_out, m, m]
+        out = np.einsum("pcxymn,ocmn->poxy", win, w)
+        arr = np.zeros(size, np.int64)
+        arr[self._conv_read_positions()] = out.ravel()
+        return arr
 
     def _add_bias_layer(self, layer: Layer, lid: int, first_bias_id: int):
         size = (self.nx_out * self.ny_out * self.channel_out
