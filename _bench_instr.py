@@ -5,7 +5,7 @@ def log(msg):
     print(f"[{time.time()-T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 # watchdog: dump all thread stacks every 120s so stalls are visible
-faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
+faulthandler.dump_traceback_later(180, repeat=True, file=sys.stderr)
 
 log("importing jax")
 import jax

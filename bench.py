@@ -55,13 +55,17 @@ def round_kernel_bench():
     from zkcnn_tpu.field import FR
     from zkcnn_tpu.gkr.fused import (_quad_ladder, _pallas_version,
                                      pack_challenges, LSTEP)
+    import numpy as np
     k = 20
     m = 1 << k
     pv = _pallas_version()
-    A = FR.pack_mont_host([3] * 1)  # cheap: broadcast one element
-    A = jnp.broadcast_to(jnp.asarray(A)[0], (m, FR.n))
-    V = A
-    rs = pack_challenges([5] * LSTEP)
+    # real random operands: broadcast/constant inputs let XLA fold the
+    # contraction away and report fantasy numbers
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.integers(0, 1 << 16, (m, FR.n), np.uint32))
+    V = jnp.asarray(rng.integers(0, 1 << 16, (m, FR.n), np.uint32))
+    rs = pack_challenges([int.from_bytes(rng.bytes(31), "little")
+                          for _ in range(LSTEP)])
     fn = _quad_ladder(k, pv)
     d, A1, V1 = fn(A, V, rs)          # compile + first run
     import jax

@@ -304,8 +304,10 @@ class Verifier:
         self.r_u[0] = self.tape.fields(C.layers[0].bit_length)
         recs["sig_u"], recs["sig_v"] = sig_u, sig_v
         p.sumcheck_liu_init(sig_u, sig_v)
+        self.log(f"liu init dispatched (t={time.perf_counter():.1f})")
         recs["liu_polys"] = p.run_rounds_quad(self.r_u[0])
         recs["eval_in"] = p.liu_finalize_dev(self.r_u[0])
+        self.log(f"liu dispatched (t={time.perf_counter():.1f})")
         return recs
 
     @staticmethod
@@ -336,8 +338,11 @@ class Verifier:
             else:                               # [n] scalar
                 metas.append(("scalar", None))
                 rows.append(jnp.reshape(v, (1, FR.n)))
+        self.log(f"fetch: {len(rows)} transcript rows "
+                 f"(t={time.perf_counter():.1f})")
         big = np.asarray(jnp.concatenate(rows, axis=0)) if rows \
             else np.zeros((0, FR.n), np.uint32)
+        self.log(f"fetch done (t={time.perf_counter():.1f})")
         ints = FR.unpack_mont_host(big)
         off = 0
         for (obj, key), (kind, shapes) in zip(slots, metas):

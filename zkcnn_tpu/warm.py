@@ -212,7 +212,22 @@ class _Wrapped:
                     STATS["fail"] += 1      # fall back to pjit path
             else:
                 STATS["miss"] += 1
-        return self._jit(*args, **kwargs)
+        # the axon remote-compile RPC occasionally drops mid-response
+        # ("response body closed before all bytes were read") -- a
+        # transient service failure that killed the round-3 vgg11 run.
+        # Retry with backoff; a deterministic error resurfaces.
+        for attempt in range(3):
+            try:
+                return self._jit(*args, **kwargs)
+            except Exception as e:
+                msg = str(e)
+                if attempt == 2 or ("remote_compile" not in msg
+                                    and "DEADLINE" not in msg
+                                    and "UNAVAILABLE" not in msg):
+                    raise
+                import time as _time
+                STATS["retry"] = STATS.get("retry", 0) + 1
+                _time.sleep(5.0 * (attempt + 1))
 
     def lower(self, *a, **k):
         return self._jit.lower(*a, **k)
@@ -345,11 +360,13 @@ def warm_from_manifest(path: str, threads: int = 32,
                 # a program server-side on its first run (~0.5-2s),
                 # and that cost overlaps across warm threads
                 import jax
-                jax.block_until_ready(comp(
-                    *[a for i, a in enumerate(args)
-                      if i not in fn.statics],
-                    **{k: v for k, v in kwargs.items()
-                       if k not in fn.static_names}))
+                execs = int(os.environ.get("ZKCNN_TPU_WARM_EXECS", "1"))
+                for _ in range(max(1, execs)):
+                    jax.block_until_ready(comp(
+                        *[a for i, a in enumerate(args)
+                          if i not in fn.statics],
+                        **{k: v for k, v in kwargs.items()
+                           if k not in fn.static_names}))
                 fn._compiled[line] = comp
             else:
                 fn(*args, **kwargs)
