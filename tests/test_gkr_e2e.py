@@ -130,3 +130,25 @@ def test_fiat_shamir_e2e():
     p2 = Prover(C, [vals[0], bad])
     v2 = Verifier(p2, C, FiatShamirTape(b"fs"))
     assert not v2.verify()
+
+
+def test_liu_chunked_matches_oneshot(monkeypatch):
+    """The chunked Liu-init accumulation (vgg-scale HBM path) must
+    produce the same transcript as the single-program path."""
+    from zkcnn_tpu.nn import random_source
+    from zkcnn_tpu.nn.models import ccnn
+    from zkcnn_tpu.nn.params import PoolType
+    from zkcnn_tpu.gkr import Prover, Verifier, Tape
+
+    nn = ccnn(8, 8, 1, 1, PoolType.MAX)
+    C, vals = nn.create(random_source(31))
+
+    def prove():
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"liu-chunk"))
+        assert v.verify()
+        return v.transcript_digest
+
+    base = prove()
+    monkeypatch.setattr(Prover, "LIU_ONESHOT_ROWS", 1)
+    assert prove() == base

@@ -487,26 +487,61 @@ class Prover:
     # ------------------------------------------------------------------
     # Liu input-consolidation phase (reference prover.cpp:312-358)
 
+    # single-program Liu init cap: beyond this many subset rows the
+    # concatenated segment-sum program's HLO temps exceed HBM (vgg11:
+    # 20 GB requested of 15.75 GB -- results/vgg11_pic1_tpu_r4_nopcs2.log),
+    # so accumulate per-part chunks into one [total, n] tensor instead
+    LIU_ONESHOT_ROWS = 1 << 22
+
+    def _liu_parts(self, sig_u: List[int], sig_v: List[int]):
+        """Yield (beta_part [2^bl, n], padded seg ids [2^bl]) per layer
+        side.  Seg ids are the ori subset maps, sentinel-padded to the
+        table's power-of-two rows (OOB ids drop in the segment sum)."""
+        from .kernels import PAD_SENTINEL
+        for i in range(1, self.C.size):
+            ly = self.C.layers[i]
+            cache = self._ori_dev(ly)
+            for bl, key, rr, sig in (
+                    (ly.bit_length_u[0], "ori_u", self.r_u[i],
+                     sig_u[i - 1]),
+                    (ly.bit_length_v[0], "ori_v", self.r_v[i],
+                     sig_v[i - 1])):
+                if bl < 0:
+                    continue
+                t = beta_table(rr[:bl], sig)
+                pad_key = key + "_pad"
+                if pad_key not in cache:
+                    ori = cache[key]
+                    pad = (1 << bl) - ori.shape[0]
+                    cache[pad_key] = jnp.pad(
+                        ori, (0, pad),
+                        constant_values=PAD_SENTINEL) if pad else ori
+                yield t, cache[pad_key]
+
     @_timed
     def sumcheck_liu_init(self, sig_u: List[int], sig_v: List[int]):
         self.sumcheck_id = 0
         c0 = self.C.layers[0]
         total = 1 << c0.bit_length
-        parts, segs = [], []
-        for i in range(1, self.C.size):
-            ly = self.C.layers[i]
-            bl = ly.bit_length_u[0]
-            if bl >= 0:
-                t = beta_table(self.r_u[i][:bl], sig_u[i - 1])
-                parts.append(t[: ly.size_u[0]])
-                segs.append(self._ori_dev(ly)["ori_u"])
-            bl = ly.bit_length_v[0]
-            if bl >= 0:
-                t = beta_table(self.r_v[i][:bl], sig_v[i - 1])
-                parts.append(t[: ly.size_v[0]])
-                segs.append(self._ori_dev(ly)["ori_v"])
-        mult = segment_sum_field(jnp.concatenate(parts),
-                                 jnp.concatenate(segs), total)
+        pieces = list(self._liu_parts(sig_u, sig_v))
+        rows = sum(p.shape[0] for p, _ in pieces)
+        if rows <= self.LIU_ONESHOT_ROWS:
+            mult = segment_sum_field(
+                jnp.concatenate([p for p, _ in pieces]),
+                jnp.concatenate([s for _, s in pieces]), total)
+        else:
+            from .kernels import dyn_chunk
+            acc = None
+            for part, seg in pieces:
+                for s in range(0, part.shape[0], GATE_CHUNK):
+                    if part.shape[0] <= GATE_CHUNK:
+                        pc, gc = part, seg
+                    else:
+                        pc = dyn_chunk(part, s, GATE_CHUNK)
+                        gc = dyn_chunk(seg, s, GATE_CHUNK)
+                    t = segment_sum_field(pc, gc, total)
+                    acc = t if acc is None else FR.add(acc, t)
+            mult = acc
         V = self.val[0][:total]
         self.phase = PhaseEngine([None, Side(mult, V, c0.bit_length)],
                                  include_add_term=False)
