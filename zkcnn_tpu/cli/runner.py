@@ -113,7 +113,12 @@ def run(nn, args, mo_info: str, psize: int, ksize: int,
     print(f"transcript sha256 {v.transcript_digest}", file=sys.stderr)
 
     pt = p.prove_time
-    vt = total_t - pt
+    # reference VT semantics: the "fast" verifier time (check replay);
+    # vt_slow adds the verifier's own beta/predicate table builds
+    # (verifier.cpp:133-134,200-204).  On non-precomputable tapes the
+    # per-round path folds everything into the wall clock.
+    vt = v.vt if v.vt else total_t - pt
+    vt_slow = v.vt_slow if v.vt_slow else vt
     ps_kb = p.proof_size / 1024.0
     poly_pt = pcs.pt if pcs else 0.0
     poly_vt = pcs.vt if pcs else 0.0
@@ -140,7 +145,8 @@ def run(nn, args, mo_info: str, psize: int, ksize: int,
     }
     print(", ".join(row[c] for c in OUT_COLS) + ", ")
     print(f"witness generation {witness_t:.2f}s, prove {pt:.2f}s, "
-          f"verify {vt:.2f}s, proof {ps_kb:.1f}KB", file=sys.stderr)
+          f"verify {vt:.4f}s (slow {vt_slow:.2f}s), "
+          f"proof {ps_kb:.1f}KB", file=sys.stderr)
     if not args.no_warm:
         warm.save_manifest(manifest)
         try:

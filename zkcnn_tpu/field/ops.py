@@ -109,20 +109,19 @@ def bits_to_mont(bits):
 
 
 @partial(zjit, static_argnums=(2,))
-def segment_sum_field(vals, seg_ids, num_segments: int):
-    """Exact modular scatter-add: out[s] = sum of vals[i] with
-    seg_ids[i] == s.  vals: [G, n] Montgomery limbs; out [S, n].
-
-    Strategy: split 16-bit limbs into 8-bit planes so a uint32
-    segment_sum is exact for up to 2^16 values per segment (max column
-    value 2^16 * 255 * 2 < 2^32 after the recombine), then renormalize
-    and Montgomery-reduce like `Field.sum`.
-    """
-    f = FR
+def _segment_sum_raw(vals, seg_ids, num_segments: int):
+    """The exact 8-bit-plane segment sums (slo, shi) [S, n] uint32."""
     lo8 = (vals & _MASK8).astype(jnp.uint32)
     hi8 = ((vals >> 8) & _MASK8).astype(jnp.uint32)
     slo = jax.ops.segment_sum(lo8, seg_ids, num_segments=num_segments)
     shi = jax.ops.segment_sum(hi8, seg_ids, num_segments=num_segments)
+    return slo, shi
+
+
+@zjit
+def _segment_sum_finish(slo, shi):
+    """Renormalize the plane sums and Montgomery-reduce -> [S, n]."""
+    f = FR
     # slo, shi < count*255 <= 2^16*255 < 2^24.  The exact value is
     # sum_j slo_j*2^(16j) + shi_j*2^(16j+8); combine as two base-2^16
     # numbers so no column ever exceeds 2^32:
@@ -138,3 +137,29 @@ def segment_sum_field(vals, seg_ids, num_segments: int):
     red = f.mont_redc(s, w)
     r2 = jnp.asarray(f.r2_limbs)
     return f.mul(red, jnp.broadcast_to(r2, red.shape))
+
+
+# beyond this many output segments the finish stage runs in row blocks:
+# its REDC shift-matmul temporaries are ~40x the output size, which at
+# S = 2^24 requested 20 GB of HLO temps in one program (the vgg11 Liu
+# OOM, results/vgg11_pic1_tpu_r4_nopcs3.log)
+_FINISH_BLOCK = 1 << 20
+
+
+def segment_sum_field(vals, seg_ids, num_segments: int):
+    """Exact modular scatter-add: out[s] = sum of vals[i] with
+    seg_ids[i] == s.  vals: [G, n] Montgomery limbs; out [S, n].
+
+    Strategy: split 16-bit limbs into 8-bit planes so a uint32
+    segment_sum is exact for up to 2^16 values per segment (max column
+    value 2^16 * 255 * 2 < 2^32 after the recombine), then renormalize
+    and Montgomery-reduce like `Field.sum` -- blockwise when S is
+    large (see _FINISH_BLOCK).
+    """
+    slo, shi = _segment_sum_raw(vals, seg_ids, num_segments)
+    if num_segments <= _FINISH_BLOCK:
+        return _segment_sum_finish(slo, shi)
+    outs = [_segment_sum_finish(slo[s: s + _FINISH_BLOCK],
+                                shi[s: s + _FINISH_BLOCK])
+            for s in range(0, num_segments, _FINISH_BLOCK)]
+    return jnp.concatenate(outs)
