@@ -125,3 +125,36 @@ def test_eval_normal_layer_chunked_matches(monkeypatch):
     got = [FR.from_mont_host(np.asarray(out[i]))
            for i in range(1 << out_bits)]
     assert got == want
+
+
+def test_ladder_row_chunking_matches(monkeypatch):
+    """Row-chunked big-ladder steps (vgg HBM path) must emit identical
+    dot stacks and folded operands to the one-shot ladder program."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zkcnn_tpu.field import FR
+    from zkcnn_tpu.field.params import FR_P
+    from zkcnn_tpu.gkr import fused
+    from zkcnn_tpu.gkr.fused import _run_side_ladder, pack_challenges
+
+    rng = np.random.default_rng(5)
+    k = 9
+    m = 1 << k
+    vals_a = [int.from_bytes(rng.bytes(31), "little") % FR_P
+              for _ in range(m)]
+    vals_v = [int.from_bytes(rng.bytes(31), "little") % FR_P
+              for _ in range(m)]
+    A = jnp.asarray(FR.pack_mont_host(vals_a))
+    V = jnp.asarray(FR.pack_mont_host(vals_v))
+    rs = pack_challenges([int.from_bytes(rng.bytes(31), "little") % FR_P
+                          for _ in range(k)])
+
+    ref_stacks, ref_A, ref_V = _run_side_ladder(A, V, k, rs, 0)
+    monkeypatch.setattr(fused, "LADDER_CHUNK_BL", 6)
+    got_stacks, got_A, got_V = _run_side_ladder(A, V, k, rs, 0)
+
+    ref = np.concatenate([np.asarray(s) for s in ref_stacks])
+    got = np.concatenate([np.asarray(s) for s in got_stacks])
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(np.asarray(ref_A), np.asarray(got_A))
+    np.testing.assert_array_equal(np.asarray(ref_V), np.asarray(got_V))

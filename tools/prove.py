@@ -89,7 +89,8 @@ def main():
         f"{C.size} layers, input size {C.layers[0].size} "
         f"(2^{C.layers[0].bit_length})")
 
-    p = Prover(C, vals)
+    p = Prover(C, vals, own_vals=True)   # single proof: free layer
+    nn.vals = None                       # values as the walk passes
     t0 = time.time()
     p.prefetch()
     log(f"gate prefetch {time.time() - t0:.1f}s")

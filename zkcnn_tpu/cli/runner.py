@@ -95,7 +95,8 @@ def run(nn, args, mo_info: str, psize: int, ksize: int,
             for k in preds:
                 f.write(f"{k}\n")
 
-    p = Prover(C, vals)
+    p = Prover(C, vals, own_vals=True)   # CLI runs prove once: let the
+    nn.vals = None                       # walk free dead layer values
     p.prefetch()
     pcs = None if args.no_pcs else HyraxPCS()
     log = (lambda *a: print(*a, file=sys.stderr)) if args.log \

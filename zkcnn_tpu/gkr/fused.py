@@ -258,6 +258,16 @@ def _sharded_kernel_ok(mesh, m: int) -> bool:
     return m % D == 0 and loc >= 2 * TILE2 and supported2(loc)
 
 
+# rows per ladder program above which the step runs as row-chunk calls
+# of the 2^LADDER_CHUNK_BL program: the RED-form conversion holds
+# ~[m, 80] bf16 copies of both operands plus scratch in ONE program,
+# which at the vgg11 Liu side (m = 2^24) exhausted HBM at execution
+# (results/vgg11_pic1_tpu_r4_nopcs5.log).  Chunk dots add exactly
+# (canonical Montgomery partials mod p); folds are chunk-local because
+# chunks are contiguous even-sized blocks.
+LADDER_CHUNK_BL = 22
+
+
 def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
     """Chain ladder programs down a side's 2^nb hypercube; returns the
     per-round dot stacks and the fully-folded [1, n] operands."""
@@ -267,11 +277,23 @@ def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
     stacks = []
     j = 0
     while nb - j >= LSTEP:
-        if mesh is not None and _sharded_kernel_ok(mesh, 1 << (nb - j)):
-            fn = _quad_ladder_sharded(mesh, nb - j, interp)
+        k = nb - j
+        if mesh is not None and _sharded_kernel_ok(mesh, 1 << k):
+            d, A, V = _quad_ladder_sharded(mesh, k, interp)(
+                A, V, rs_dev[j: j + LSTEP])
+        elif mesh is None and k > LADDER_CHUNK_BL:
+            M = 1 << LADDER_CHUNK_BL
+            fn = _quad_ladder(LADDER_CHUNK_BL, pv)
+            d, As, Vs = None, [], []
+            for s in range(0, 1 << k, M):
+                dc, a2, v2 = fn(A[s: s + M], V[s: s + M],
+                                rs_dev[j: j + LSTEP])
+                d = dc if d is None else FR.add(d, dc)
+                As.append(a2)
+                Vs.append(v2)
+            A, V = jnp.concatenate(As), jnp.concatenate(Vs)
         else:
-            fn = _quad_ladder(nb - j, pv)
-        d, A, V = fn(A, V, rs_dev[j: j + LSTEP])
+            d, A, V = _quad_ladder(k, pv)(A, V, rs_dev[j: j + LSTEP])
         stacks.append(d)
         j += LSTEP
     if nb - j:

@@ -57,13 +57,21 @@ def _timed(fn):
 
 
 class Prover:
-    def __init__(self, C: Circuit, vals: List):
+    def __init__(self, C: Circuit, vals: List, own_vals: bool = False):
         from ..parallel.context import active_mesh, shard_rows
         self.C = C
         # under an active mesh, witness tensors live sharded on their
         # high index bits (parallel/context.py design note)
         self.val = [shard_rows(v) for v in vals] if active_mesh() \
             else vals
+        # own_vals: the caller relinquishes the layer values, letting
+        # the proof free each layer's tensor once its sumcheck has
+        # consumed it (layer i's value is dead after layer i's own
+        # dispatch in the top-down walk) -- at vgg scale the resident
+        # set otherwise exhausts HBM mid-Liu (results/
+        # vgg11_pic1_tpu_r4_nopcs4.log).  Leave False to reuse `vals`
+        # for another proof (bench trials).
+        self.own_vals = own_vals
         self.proof_size = 0
         self.prove_time = 0.0
         self.r_u: List[Optional[List[int]]] = [None] * (C.size + 1)
@@ -207,6 +215,14 @@ class Prover:
 
         with ThreadPoolExecutor(threads) as ex:
             list(ex.map(stage, self.C.layers[1:]))
+
+    def release_val(self, lid: int):
+        """Drop layer lid's value tensor once its own sumcheck has been
+        dispatched (its consumers are enqueued; the buffer frees when
+        they execute).  val[0] lives for the whole proof (Liu + subset
+        reads + commitment)."""
+        if self.own_vals and lid > 0:
+            self.val[lid] = None
 
     def release_gates(self, layer: Layer):
         """Drop a big layer's device gate tensors once its sumcheck /

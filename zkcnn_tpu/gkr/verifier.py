@@ -290,6 +290,7 @@ class Verifier:
                 rec["next_alpha"], rec["next_beta"] = alpha, beta
             recs["layers"].append(rec)
             p.release_gates(cur)     # big layers: free HBM gate copies
+            p.release_val(i)         # layer value dead past its layer
             if os.environ.get("ZKCNN_TPU_PROFILE") == "1":
                 # sync profiling: block on this layer's last dispatch so
                 # the per-layer log line shows true device+dispatch time
@@ -608,6 +609,7 @@ class Verifier:
             r_0 = self.r_u[i]
             r_1 = self.r_v[i]
             p.release_gates(cur)
+            p.release_val(i)
             self.log(f"layer {i:3d} {cur.ty.name:9s} bl={cur.bit_length} "
                      f"ok ({time.time() - t_layer:.2f}s)")
         return True
