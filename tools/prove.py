@@ -32,9 +32,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 T0 = time.time()
 
 
+_DEV = []
+
+
 def log(msg):
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
-    print(f"[{time.time() - T0:8.1f}s rss={rss}MB] {msg}",
+    hbm = ""
+    if _DEV:
+        try:
+            st = _DEV[0].memory_stats()
+            hbm = f" hbm={st['bytes_in_use'] >> 20}MB"
+        except Exception:
+            pass
+    try:
+        from zkcnn_tpu import warm as _w
+        hbm += f" progs={_w.recorded_count()}"
+    except Exception:
+        pass
+    print(f"[{time.time() - T0:8.1f}s rss={rss}MB{hbm}] {msg}",
           file=sys.stderr, flush=True)
 
 
@@ -66,6 +81,10 @@ def main():
     from zkcnn_tpu.pcs import HyraxPCS
 
     backend = jax.default_backend()
+    try:
+        _DEV.append(jax.devices()[0])
+    except Exception:
+        pass
     pool = PoolType.MAX if args.pool == "max" else PoolType.AVG
     log(f"{args.model} pic_cnt={args.pic_cnt} pcs={args.pcs} "
         f"backend={backend} seed={args.seed}")

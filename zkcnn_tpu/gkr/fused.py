@@ -284,6 +284,7 @@ def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
         elif mesh is None and k > LADDER_CHUNK_BL:
             M = 1 << LADDER_CHUNK_BL
             fn = _quad_ladder(LADDER_CHUNK_BL, pv)
+            sync = os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1"
             d, As, Vs = None, [], []
             for s in range(0, 1 << k, M):
                 dc, a2, v2 = fn(A[s: s + M], V[s: s + M],
@@ -291,6 +292,12 @@ def _run_side_ladder(A, V, nb: int, rs_dev, pv: int):
                 d = dc if d is None else FR.add(d, dc)
                 As.append(a2)
                 Vs.append(v2)
+                if sync:
+                    # streaming mode: bound the pending graph -- the
+                    # tunnel runtime reclaims transient buffers only at
+                    # sync points, and an async vgg-scale chain
+                    # accumulates past HBM
+                    jax.block_until_ready(a2)
             A, V = jnp.concatenate(As), jnp.concatenate(Vs)
         else:
             d, A, V = _quad_ladder(k, pv)(A, V, rs_dev[j: j + LSTEP])

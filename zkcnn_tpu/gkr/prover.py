@@ -225,11 +225,14 @@ class Prover:
             self.val[lid] = None
 
     def release_gates(self, layer: Layer):
-        """Drop a big layer's device gate tensors once its sumcheck /
-        predicate work is done (host cache stays; small layers stay
-        device-resident for steady-state serving)."""
+        """Drop a layer's device gate tensors once its sumcheck /
+        predicate work is done (host cache stays; rebuilt lazily on
+        next use).  Small layers stay device-resident for steady-state
+        serving UNLESS this prover owns its inputs (single big proof:
+        every resident gigabyte matters through the Liu phase)."""
         if getattr(layer, "_host_cache", None) is not None and \
-                layer._host_cache["rows"] > self.EVICT_ROWS and \
+                (self.own_vals or
+                 layer._host_cache["rows"] > self.EVICT_ROWS) and \
                 hasattr(layer, "_dev_cache"):
             del layer._dev_cache
 
@@ -547,6 +550,8 @@ class Prover:
                 jnp.concatenate([s for _, s in pieces]), total)
         else:
             from .kernels import dyn_chunk
+            import os as _os
+            sync = _os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1"
             acc = None
             for part, seg in pieces:
                 for s in range(0, part.shape[0], GATE_CHUNK):
@@ -557,7 +562,14 @@ class Prover:
                         gc = dyn_chunk(seg, s, GATE_CHUNK)
                     t = segment_sum_field(pc, gc, total)
                     acc = t if acc is None else FR.add(acc, t)
+                if sync:
+                    import jax
+                    jax.block_until_ready(acc)
             mult = acc
+        import os as _os
+        if _os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1":
+            import jax
+            jax.block_until_ready(mult)
         V = self.val[0][:total]
         self.phase = PhaseEngine([None, Side(mult, V, c0.bit_length)],
                                  include_add_term=False)

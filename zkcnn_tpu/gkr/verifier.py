@@ -232,6 +232,15 @@ class Verifier:
         p = self.p
         t0 = time.perf_counter()
         recs = self._prover_pass()
+        if os.environ.get("ZKCNN_TPU_CLEARCACHE") == "1":
+            # diagnostic: drop compiled-program references (their
+            # device executables hold HBM) before the fetch
+            import gc
+            import jax
+            jax.clear_caches()
+            gc.collect()
+            self.log(f"cleared program caches "
+                     f"(t={time.perf_counter():.1f})")
         self._fetch_transcript(recs)
         self._recs = recs    # kept for diagnostics (transcript diff)
         # PT = wall clock of all prover dispatch + the transcript
@@ -291,11 +300,24 @@ class Verifier:
             recs["layers"].append(rec)
             p.release_gates(cur)     # big layers: free HBM gate copies
             p.release_val(i)         # layer value dead past its layer
+            if os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1":
+                # streaming mode: pull this layer's transcript pieces
+                # to the host NOW, while the device still has
+                # allocation headroom -- at vgg scale an end-of-pass
+                # fetch finds none left (results/vgg11_r4_s15.log)
+                self._rec_to_host(rec)
             if os.environ.get("ZKCNN_TPU_PROFILE") == "1":
-                # sync profiling: block on this layer's last dispatch so
+                # sync profiling: block on this layer's full record so
                 # the per-layer log line shows true device+dispatch time
+                # (and failed async ops surface here, localized)
                 import jax
-                jax.block_until_ready(rec.get("cv1", rec["cu1"]))
+                arrs = []
+                for v in rec.values():
+                    if isinstance(v, list):
+                        arrs += [x for x in v if hasattr(x, "shape")]
+                    elif hasattr(v, "shape"):
+                        arrs.append(v)
+                jax.block_until_ready(arrs)
             self.log(f"dispatch layer {i:3d} {cur.ty.name:9s} "
                      f"bl={cur.bit_length} (t={time.perf_counter():.1f})")
 
@@ -308,8 +330,25 @@ class Verifier:
         self.log(f"liu init dispatched (t={time.perf_counter():.1f})")
         recs["liu_polys"] = p.run_rounds_quad(self.r_u[0])
         recs["eval_in"] = p.liu_finalize_dev(self.r_u[0])
+        if os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1":
+            self._rec_to_host(recs)
+        elif os.environ.get("ZKCNN_TPU_PROFILE") == "1":
+            import jax
+            jax.block_until_ready([recs["eval_in"], recs["vres"]]
+                                  + recs["liu_polys"])
         self.log(f"liu dispatched (t={time.perf_counter():.1f})")
         return recs
+
+    @staticmethod
+    def _rec_to_host(rec):
+        """Materialize a record's device arrays as host numpy in place
+        (streaming-fetch mode; _fetch_transcript passes numpy rows
+        through)."""
+        for k, v in list(rec.items()):
+            if isinstance(v, list) and v and hasattr(v[0], "shape"):
+                rec[k] = [np.asarray(s) for s in v]
+            elif hasattr(v, "shape"):
+                rec[k] = np.asarray(v)
 
     @staticmethod
     def _tx_slots(recs):
@@ -327,6 +366,29 @@ class Verifier:
         converts every slot to host ints / lists of int tuples in
         place."""
         slots = self._tx_slots(recs)
+        stream = os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1"
+
+        def to_row(s, shape):
+            # streaming mode fetches per piece on the host: the big
+            # device-side concatenate needs allocation headroom a
+            # vgg-scale proof no longer has at this point.  Retry with
+            # backoff: the tunnel runtime reclaims freed buffers
+            # asynchronously, so a RESOURCE_EXHAUSTED d2h can succeed
+            # moments later.
+            if not stream:
+                return jnp.reshape(s, shape)
+            for attempt in range(6):
+                try:
+                    return np.asarray(s).reshape(shape)
+                except Exception as e:
+                    if attempt == 5 or "RESOURCE" not in str(e):
+                        raise
+                    import gc
+                    gc.collect()
+                    self.log(f"fetch retry {attempt + 1} after "
+                             f"RESOURCE_EXHAUSTED")
+                    time.sleep(10.0 * (attempt + 1))
+
         rows, metas = [], []
         for obj, key in slots:
             v = obj[key]
@@ -335,14 +397,30 @@ class Verifier:
             elif isinstance(v, list):           # round-poly stacks
                 shapes = [tuple(s.shape) for s in v]
                 metas.append(("stacks", shapes))
-                rows += [jnp.reshape(s, (-1, FR.n)) for s in v]
+                rows += [to_row(s, (-1, FR.n)) for s in v]
             else:                               # [n] scalar
                 metas.append(("scalar", None))
-                rows.append(jnp.reshape(v, (1, FR.n)))
+                rows.append(to_row(v, (1, FR.n)))
         self.log(f"fetch: {len(rows)} transcript rows "
                  f"(t={time.perf_counter():.1f})")
-        big = np.asarray(jnp.concatenate(rows, axis=0)) if rows \
-            else np.zeros((0, FR.n), np.uint32)
+        if os.environ.get("ZKCNN_TPU_MEMLOG") == "1":
+            import jax
+            import collections
+            la = jax.live_arrays()
+            tot = sum(a.size * a.dtype.itemsize for a in la)
+            self.log(f"live arrays: {len(la)} = {tot >> 20}MB")
+            by = collections.Counter()
+            for a in la:
+                by[(tuple(a.shape), str(a.dtype))] += \
+                    a.size * a.dtype.itemsize
+            for k, b in by.most_common(10):
+                self.log(f"  {b >> 20}MB in {k}")
+        if not rows:
+            big = np.zeros((0, FR.n), np.uint32)
+        elif stream:
+            big = np.concatenate(rows)
+        else:
+            big = np.asarray(jnp.concatenate(rows, axis=0))
         self.log(f"fetch done (t={time.perf_counter():.1f})")
         ints = FR.unpack_mont_host(big)
         off = 0
@@ -384,6 +462,11 @@ class Verifier:
             rec["uni"] = list(self.uni_value)
             rec["bin"] = list(self.bin_value)
             self.p.release_gates(self.C.layers[i])
+            if os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1":
+                rec["uni"] = [v if isinstance(v, int) else np.asarray(v)
+                              for v in rec["uni"]]
+                rec["bin"] = [v if isinstance(v, int) else np.asarray(v)
+                              for v in rec["bin"]]
             if os.environ.get("ZKCNN_TPU_PROFILE") == "1":
                 import jax
                 t0 = time.perf_counter()
@@ -422,11 +505,20 @@ class Verifier:
                 for j, v in enumerate(lst):
                     if not isinstance(v, int):
                         slots.append((lst, j, v))
-        rows = [jnp.reshape(v, (1, FR.n)) for (_, _, v) in slots]
-        if recs["gr"] is not None:
-            rows.append(jnp.reshape(recs["gr"], (1, FR.n)))
-        big = np.asarray(jnp.concatenate(rows, axis=0)) if rows \
-            else np.zeros((0, FR.n), np.uint32)
+        stream = os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1"
+        if stream:
+            rows = [np.asarray(v).reshape(1, FR.n)
+                    for (_, _, v) in slots]
+            if recs["gr"] is not None:
+                rows.append(np.asarray(recs["gr"]).reshape(1, FR.n))
+            big = np.concatenate(rows) if rows \
+                else np.zeros((0, FR.n), np.uint32)
+        else:
+            rows = [jnp.reshape(v, (1, FR.n)) for (_, _, v) in slots]
+            if recs["gr"] is not None:
+                rows.append(jnp.reshape(recs["gr"], (1, FR.n)))
+            big = np.asarray(jnp.concatenate(rows, axis=0)) if rows \
+                else np.zeros((0, FR.n), np.uint32)
         ints = FR.unpack_mont_host(big)
         for k, (lst, j, _) in enumerate(slots):
             lst[j] = ints[k]

@@ -251,6 +251,8 @@ def zjit(fn=None, *, key: Optional[str] = None, factory_args: tuple = (),
     """
     def build(f):
         k = key or f"{f.__module__}.{f.__qualname__}"
+        if os.environ.get("ZKCNN_TPU_NO_DONATE") == "1":
+            jit_kwargs.pop("donate_argnums", None)
         return _Wrapped(f, (k, tuple(factory_args)), jit_kwargs)
     if fn is None:
         return build
