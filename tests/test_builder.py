@@ -196,3 +196,25 @@ def test_lenet_pic16_builds():
     check_zero_regions(C, vals)
     preds = nn.infer()
     assert (preds == preds[0]).all()
+
+
+def test_host_conv_cross_check_vs_device():
+    """The int64 host conv shortcut (_host_conv_ints) must agree with
+    the device IFFT readback at every ADD_BIAS-read position.  The
+    builder only asserts this behind ZKCNN_TPU_CHECK_WITNESS=1, so
+    exercise that path here (ADVICE r4): a layout or stride regression
+    in _conv_read_positions/_host_conv_ints fails this test."""
+    import os
+    old = os.environ.get("ZKCNN_TPU_CHECK_WITNESS")
+    os.environ["ZKCNN_TPU_CHECK_WITNESS"] = "1"
+    try:
+        # strided FFT conv (kernel 5 > 3 -> FFT pipeline; log_stride=1
+        # exercises the strided gather math)
+        nn = singleConv(8, 1, 1, 5, 3, ConvType.FFT)
+        C, vals = nn.create(random_source(19), only_compute=True)
+        assert C.layers[4].ty.name == "IFFT"   # the checked layer
+    finally:
+        if old is None:
+            del os.environ["ZKCNN_TPU_CHECK_WITNESS"]
+        else:
+            os.environ["ZKCNN_TPU_CHECK_WITNESS"] = old

@@ -14,8 +14,8 @@ proofs diagnosable:
 
 Usage:
   python tools/prove.py MODEL [--pic-cnt N] [--pcs] [--seed N]
-                              [--pool max|avg] [--tag NAME]
-Writes results/<tag>.log style output to stdout/stderr (redirect).
+                              [--pool max|avg]
+Log capture: redirect stdout/stderr to results/<name>.log.
 """
 
 import argparse

@@ -216,14 +216,19 @@ class _Wrapped:
         # ("response body closed before all bytes were read") -- a
         # transient service failure that killed the round-3 vgg11 run.
         # Retry with backoff; a deterministic error resurfaces.
-        for attempt in range(3):
+        # Donating programs never retry: a failed attempt may already
+        # have donated its input buffers, and the retry would mask the
+        # root cause with a "buffer deleted" error (ADVICE r4).
+        attempts = 1 if self.donated else 3
+        for attempt in range(attempts):
             try:
                 return self._jit(*args, **kwargs)
             except Exception as e:
                 msg = str(e)
-                if attempt == 2 or ("remote_compile" not in msg
-                                    and "DEADLINE" not in msg
-                                    and "UNAVAILABLE" not in msg):
+                if attempt == attempts - 1 or (
+                        "remote_compile" not in msg
+                        and "DEADLINE" not in msg
+                        and "UNAVAILABLE" not in msg):
                     raise
                 import time as _time
                 STATS["retry"] = STATS.get("retry", 0) + 1
