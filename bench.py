@@ -34,6 +34,8 @@ import sys
 import time
 
 BASELINE_PT = 2.26       # measured C++ single-thread (BASELINE.md)
+BASELINE_POLY_PT = 85.6  # measured C++ Hyrax stub (schoolbook MSM --
+                         # qualitative only; BASELINE.md)
 MCL_MULS_EST = 1e7       # est. single-thread mcl field-muls/s
 
 
@@ -153,6 +155,44 @@ def main():
                     f"baseline = measured C++ reference single-thread "
                     f"PT 2.26s (BASELINE.md)",
         })
+
+    # stage 4 (headline): FULL proof including the Hyrax PCS -- the
+    # reference's verify() is commit + GKR + opening, inseparably
+    # (reference src/verifier.cpp:118-129,359-373).  IPA mode (the
+    # submodule's construction, README.md:94).  vs_baseline compares
+    # TOT_PT against the measured C++ TOT (2.26 GKR + 85.6 Hyrax;
+    # BASELINE.md notes the baseline's 85.6 s is a schoolbook-MSM
+    # stub, so the PCS share of the ratio is qualitative).
+    try:
+        from zkcnn_tpu.pcs import HyraxPCS
+        p = Prover(C, vals)
+        pcs = HyraxPCS()                      # IPA (default)
+        v = Verifier(p, C, Tape(b"bench-lenet"), pcs=pcs)
+        t0 = time.time()
+        okf = v.verify()
+        tot_wall = time.time() - t0
+        tot_pt = p.prove_time + pcs.pt
+        say({
+            "metric": "lenet_pic1_full_proof_seconds_incl_pcs",
+            "value": round(tot_pt, 3),
+            "unit": "s",
+            "vs_baseline": round((BASELINE_PT + BASELINE_POLY_PT)
+                                 / tot_pt, 3),
+            "note": f"TOT_PT = GKR PT {p.prove_time:.2f}s + Hyrax IPA "
+                    f"POLY_PT {pcs.pt:.2f}s on {backend}, "
+                    f"verified={okf} (steady-state, 3rd in-process "
+                    f"run); POLY_VT={pcs.vt:.2f}s POLY_PS="
+                    f"{pcs.ps / 1024:.1f}KB GKR PS="
+                    f"{p.proof_size / 1024:.1f}KB wall={tot_wall:.1f}s; "
+                    f"baseline = measured C++ TOT_PT 87.9s "
+                    f"(2.26 GKR + 85.6 stub-MSM Hyrax, BASELINE.md -- "
+                    f"PCS share qualitative)",
+        })
+        log(f"full proof incl PCS: {tot_pt:.2f}s (ok={okf})")
+    except Exception as e:
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        log(f"PCS stage failed: {e}")
     # refresh warm assets (best-effort; blobs are local artifacts)
     try:
         warm.save_manifest(manifest)

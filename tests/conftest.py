@@ -33,9 +33,12 @@ try:
 except OSError:
     pass
 _fp = hashlib.sha256(_flags.encode()).hexdigest()[:12]
+# "_l1" = locally-compiled entries only (matches use_cpu_cache): the
+# unsuffixed dirs hold remote-compiled AOT entries whose target
+# features fail the host check on every load (r4 dryrun timeout)
 os.environ["ZKCNN_TPU_XLA_CACHE"] = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".xla_cache", "cpu_" + _fp)
+    ".xla_cache", "cpu_" + _fp + "_l1")
 
 import jax  # noqa: E402
 

@@ -158,3 +158,35 @@ def test_ladder_row_chunking_matches(monkeypatch):
     np.testing.assert_array_equal(ref, got)
     np.testing.assert_array_equal(np.asarray(ref_A), np.asarray(got_A))
     np.testing.assert_array_equal(np.asarray(ref_V), np.asarray(got_V))
+
+
+def test_liu_streaming_matches_oneshot(monkeypatch):
+    """The vgg-scale Liu-init streaming accumulate (donated 8-bit plane
+    accumulators + one blockwise finish) must produce a transcript
+    bit-identical to the oneshot segment-sum path (r5: the r4 vgg11
+    OOM fix must not change the math)."""
+    from zkcnn_tpu.nn import random_source
+    from zkcnn_tpu.nn.models import ccnn
+    from zkcnn_tpu.nn.params import PoolType
+    from zkcnn_tpu.gkr import Prover, Verifier, Tape
+    from zkcnn_tpu.gkr import prover as prover_mod
+
+    nn = ccnn(8, 8, 1, 1, PoolType.MAX)
+    C, vals = nn.create(random_source(9))
+
+    def run():
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"liu-stream"))
+        ok = v.verify()
+        return ok, v.transcript_digest
+
+    ok1, d1 = run()
+    assert ok1
+    # force the streaming path (tiny threshold + tiny chunks so several
+    # donated accumulate steps and the bounded sync actually exercise)
+    monkeypatch.setattr(prover_mod.Prover, "LIU_ONESHOT_ROWS", 1)
+    monkeypatch.setattr(prover_mod, "GATE_CHUNK", 64)
+    monkeypatch.setattr(prover_mod.Prover, "LIU_SYNC_EVERY", 2)
+    ok2, d2 = run()
+    assert ok2
+    assert d1 == d2

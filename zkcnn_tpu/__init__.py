@@ -98,11 +98,19 @@ def use_cpu_cache():
     directory (call after forcing jax_platforms='cpu').  Also disables
     the axon remote compile service for this process: remote-compiled
     XLA:CPU AOT binaries target the remote host's CPU features and
-    SIGILL when loaded locally."""
+    SIGILL when loaded locally.
+
+    The dir is suffixed "_l1" (local, v1): earlier rounds wrote
+    REMOTE-compiled entries into the unsuffixed fingerprint dirs, whose
+    `+prefer-no-gather/scatter` target features fail XLA's host check
+    on EVERY load -- each hit then recompiled from scratch, which is
+    what timed out the r4 driver dryrun (MULTICHIP_r04.json rc=124).
+    A fresh dir orphans the poisoned entries."""
     _os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     d = _os.environ.get("ZKCNN_TPU_XLA_CACHE_CPU",
                         _os.path.join(_repo_root, ".xla_cache",
-                                      "cpu_" + host_fingerprint()))
+                                      "cpu_" + host_fingerprint()
+                                      + "_l1"))
     try:
         _os.makedirs(d, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", d)

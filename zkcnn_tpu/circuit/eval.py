@@ -121,6 +121,23 @@ def eval_dot_prod_layer(layer: Layer, val_prev, pic_parallel: int,
     return out
 
 
+def _witness_ntt(x, fb: int, inverse: bool):
+    """NTT dispatch for the witness path: under an active mesh, small
+    batches of large transforms route to the stage-sharded NTT (one
+    all_to_all transpose between butterfly stage groups -- SURVEY.md
+    section 2 parallelism inventory); big batches keep the batched
+    kernel (GSPMD shards the slot axis).  Both are bit-identical."""
+    from ..parallel.context import active_mesh
+    mesh = active_mesh()
+    if mesh is not None:
+        D = mesh.devices.size
+        if (D & (D - 1)) == 0 and (1 << fb) >= D * D \
+                and x.shape[0] < 2 * D:
+            from ..parallel.sharding import stage_sharded_ntt
+            return stage_sharded_ntt(mesh, fb, inverse)(x)
+    return intt(x, fb) if inverse else ntt(x, fb)
+
+
 def eval_fft_layer(layer: Layer, val_prev):
     """calcFFTLayer (reference src/neuralNetwork.cpp:950-965).
 
@@ -134,12 +151,12 @@ def eval_fft_layer(layer: Layer, val_prev):
         n_slots = layer.size >> fb
         x = val_prev[: n_slots * Lh].reshape(n_slots, Lh, FR.n)
         x = jnp.pad(x, ((0, 0), (0, Lh), (0, 0)))
-        y = ntt(x, fb)
+        y = _witness_ntt(x, fb, False)
         out = y.reshape(n_slots * L, FR.n)
     else:
         n_slots = layer.size >> (fb - 1)
         x = val_prev[: n_slots * L].reshape(n_slots, L, FR.n)
-        y = intt(x, fb)
+        y = _witness_ntt(x, fb, True)
         out = y[:, :Lh].reshape(n_slots * Lh, FR.n)
     pad = (1 << layer.bit_length) - out.shape[0]
     if pad:

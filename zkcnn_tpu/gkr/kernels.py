@@ -77,6 +77,18 @@ def dyn_chunk(arr, start, size: int):
     return jax.lax.dynamic_slice_in_dim(arr, start, size, 0)
 
 
+@partial(zjit, donate_argnums=(0, 1))
+def liu_plane_acc(slo, shi, vals, seg):
+    """Liu-init streaming accumulate: scatter-add one chunk's 8-bit
+    limb planes into the donated uint32 accumulators (the
+    segment_sum_field decomposition, split so the modular finish runs
+    ONCE after all chunks).  OOB seg ids (pad sentinels) drop."""
+    lo8 = (vals & np.uint32(0xFF)).astype(jnp.uint32)
+    hi8 = ((vals >> 8) & np.uint32(0xFF)).astype(jnp.uint32)
+    return slo.at[seg].add(lo8, mode="drop"), \
+        shi.at[seg].add(hi8, mode="drop")
+
+
 @partial(zjit, donate_argnums=(0,), static_argnums=(1,))
 def p1_uni_acc(acc, sc0: bool, bg, tm, uni):
     """acc[u] += beta_g[g]*two_mul[sc] for one uni-gate chunk

@@ -509,13 +509,15 @@ class Prover:
     # single-program Liu init cap: beyond this many subset rows the
     # concatenated segment-sum program's HLO temps exceed HBM (vgg11:
     # 20 GB requested of 15.75 GB -- results/vgg11_pic1_tpu_r4_nopcs2.log),
-    # so accumulate per-part chunks into one [total, n] tensor instead
+    # so stream per-part chunks into donated 8-bit plane accumulators
     LIU_ONESHOT_ROWS = 1 << 22
 
     def _liu_parts(self, sig_u: List[int], sig_v: List[int]):
         """Yield (beta_part [2^bl, n], padded seg ids [2^bl]) per layer
-        side.  Seg ids are the ori subset maps, sentinel-padded to the
-        table's power-of-two rows (OOB ids drop in the segment sum)."""
+        side, LAZILY -- one beta table lives at a time in the streaming
+        consumer (materializing all of them was the r4 vgg11 OOM).  Seg
+        ids are the ori subset maps, sentinel-padded to the table's
+        power-of-two rows (OOB ids drop in the scatter-add)."""
         from .kernels import PAD_SENTINEL
         for i in range(1, self.C.size):
             ly = self.C.layers[i]
@@ -537,38 +539,64 @@ class Prover:
                         constant_values=PAD_SENTINEL) if pad else ori
                 yield t, cache[pad_key]
 
+    # chunks in flight before an unconditional queue drain: the tunnel
+    # runtime reclaims donated/transient buffers only at sync points,
+    # so an unbounded async chain accumulates past HBM at vgg scale
+    # (the r4 failure mode, results/vgg11_r4_s18.log) -- this bound is
+    # structural, not an env knob (r4 verdict item 1)
+    LIU_SYNC_EVERY = 8
+
     @_timed
     def sumcheck_liu_init(self, sig_u: List[int], sig_v: List[int]):
         self.sumcheck_id = 0
         c0 = self.C.layers[0]
         total = 1 << c0.bit_length
-        pieces = list(self._liu_parts(sig_u, sig_v))
-        rows = sum(p.shape[0] for p, _ in pieces)
+        rows = sum((1 << ly.bit_length_u[0] if ly.bit_length_u[0] >= 0
+                    else 0)
+                   + (1 << ly.bit_length_v[0] if ly.bit_length_v[0] >= 0
+                      else 0)
+                   for ly in self.C.layers[1: self.C.size])
         if rows <= self.LIU_ONESHOT_ROWS:
+            pieces = list(self._liu_parts(sig_u, sig_v))
             mult = segment_sum_field(
                 jnp.concatenate([p for p, _ in pieces]),
                 jnp.concatenate([s for _, s in pieces]), total)
         else:
-            from .kernels import dyn_chunk
-            import os as _os
-            sync = _os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1"
-            acc = None
-            for part, seg in pieces:
+            # vgg-scale streaming accumulate.  Modular adds of finished
+            # [total, n] partials would hold one ~(total*64B) temp per
+            # pending chunk; instead scatter-add exact uint32 8-bit
+            # PLANES (the segment_sum_field decomposition) into two
+            # donated accumulators -- the in-place donation keeps the
+            # resident set at exactly slo+shi regardless of chunk
+            # count, and one blockwise modular finish runs at the end.
+            # Exactness bound: each plane column <= fan-in * 255 with
+            # fan-in = layers reading the position (< 2^16; same bound
+            # segment_sum_field already relies on).
+            import jax
+            from .kernels import dyn_chunk, liu_plane_acc
+            slo = jnp.zeros((total, FR.n), jnp.uint32)
+            shi = jnp.zeros((total, FR.n), jnp.uint32)
+            pending = 0
+            for part, seg in self._liu_parts(sig_u, sig_v):
                 for s in range(0, part.shape[0], GATE_CHUNK):
                     if part.shape[0] <= GATE_CHUNK:
                         pc, gc = part, seg
                     else:
                         pc = dyn_chunk(part, s, GATE_CHUNK)
                         gc = dyn_chunk(seg, s, GATE_CHUNK)
-                    t = segment_sum_field(pc, gc, total)
-                    acc = t if acc is None else FR.add(acc, t)
-                if sync:
-                    import jax
-                    jax.block_until_ready(acc)
-            mult = acc
-        import os as _os
-        if _os.environ.get("ZKCNN_TPU_STREAM_SYNC") == "1":
-            import jax
+                    slo, shi = liu_plane_acc(slo, shi, pc, gc)
+                    pending += 1
+                    if pending >= self.LIU_SYNC_EVERY:
+                        jax.block_until_ready(slo)
+                        pending = 0
+                del part
+            jax.block_until_ready(slo)
+            from ..field.ops import _segment_sum_finish, _FINISH_BLOCK
+            outs = [_segment_sum_finish(slo[s: s + _FINISH_BLOCK],
+                                        shi[s: s + _FINISH_BLOCK])
+                    for s in range(0, total, _FINISH_BLOCK)]
+            mult = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+            del slo, shi
             jax.block_until_ready(mult)
         V = self.val[0][:total]
         self.phase = PhaseEngine([None, Side(mult, V, c0.bit_length)],

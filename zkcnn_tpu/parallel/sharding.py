@@ -77,6 +77,90 @@ def sharded_ntt(mesh: Mesh, logn: int, axis: str = "data"):
     return jax.jit(f)
 
 
+def stage_sharded_ntt(mesh: Mesh, logn: int, inverse: bool = False,
+                      axis: str = "hyper"):
+    """NTT sharded WITHIN one transform: butterfly stages split into a
+    local group and a cross-device group with one all_to_all transpose
+    between them (SURVEY.md section 2 parallelism inventory; the
+    reference's serial recursion is src/utils.cpp:105-145).
+
+    Layout: rows sharded on the HIGH index bits (device d holds
+    contiguous rows [d*L, (d+1)*L), L = N/D).  With bit-reversed-input
+    DIT, stages with block size <= L pair rows inside one shard and run
+    locally with the ordinary twiddle slices.  The remaining log2(D)
+    stages pair rows across shards; instead of exchanging per stage,
+    ONE all_to_all transposes to a j-sharded layout where the whole
+    d-axis is local (each device then holds rows e*L + d'*M + m for all
+    e), the cross stages run locally with gathered twiddles
+    tw[((e mod 2^(sl-1))*L + j) * (N >> s)], and a second all_to_all
+    transposes back.  Every butterfly executes the same FR ops on the
+    same operands as the batched ntt(), so the result is bit-identical.
+
+    Requires N >= D^2 (the transpose needs L divisible by D).
+    Returns a jitted f(x [batch, N, n]) -> [batch, N, n].
+    """
+    from ..ntt.ntt import _plan
+    D = mesh.devices.size
+    logD = D.bit_length() - 1
+    assert (1 << logD) == D, "device count must be a power of two"
+    N = 1 << logn
+    L = N >> logD
+    M = L // D
+    assert M >= 1, "stage-sharded NTT needs N >= D^2"
+    logL = logn - logD
+    rev, tw_np = _plan(logn, inverse)
+    rev = jnp.asarray(rev)
+    tw = jnp.asarray(tw_np)             # [N/2, n] Montgomery
+    from ..field.params import FR_P
+    inv_n = jnp.asarray(np.asarray(
+        FR.pack_mont_host([pow(N, FR_P - 2, FR_P)])).reshape(FR.n))
+
+    def body(x):
+        # x: [batch, L, n] = rows d*L + j of the bit-reversed input
+        b = x.shape[0]
+        for s in range(1, logL + 1):
+            half = 1 << (s - 1)
+            stride = N >> s
+            v = x.reshape(b, L >> s, 2, half, FR.n)
+            u, w = v[:, :, 0], v[:, :, 1]
+            t = FR.mul(w, tw[::stride][None, None])
+            x = jnp.stack([FR.add(u, t), FR.sub(u, t)], axis=2) \
+                .reshape(b, L, FR.n)
+        # transpose: device d' gathers rows e*L + d'*M + m for all e
+        z = x.reshape(b, D, M, FR.n)
+        z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=1)
+        dp = jax.lax.axis_index(axis)
+        j = dp * M + jnp.arange(M)                       # [M] global j
+        for sl in range(1, logD + 1):
+            s = logL + sl
+            half = 1 << (sl - 1)
+            v = z.reshape(b, D >> sl, 2, half, M, FR.n)
+            u, w = v[:, :, 0], v[:, :, 1]
+            # twiddle for pair (e_low=p, j): tw[(p*L + j) * (N >> s)]
+            p = jnp.arange(half)
+            idx = (p[:, None] * L + j[None, :]) * (N >> s)  # [half, M]
+            t = FR.mul(w, tw[idx][None, None])
+            z = jnp.stack([FR.add(u, t), FR.sub(u, t)], axis=2) \
+                .reshape(b, D, M, FR.n)
+        # transpose back to row sharding
+        z = jax.lax.all_to_all(z, axis, split_axis=1, concat_axis=1)
+        out = z.reshape(b, L, FR.n)
+        if inverse:
+            out = FR.mul(out, jnp.broadcast_to(inv_n, out.shape))
+        return out
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(None, axis, None),),
+                  out_specs=P(None, axis, None), check_vma=False)
+    jf = jax.jit(f)
+
+    def run(x):
+        # global bit-reversal outside the shard_map (one sharded gather)
+        return jf(x[:, rev, :])
+
+    return run
+
+
 def sharded_segment_sum(mesh: Mesh, num_segments: int, axis: str = "hyper"):
     """Gate-parallel scatter-add: gates partitioned across devices,
     per-device exact modular segment sums, then a cross-chip exact
