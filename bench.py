@@ -87,7 +87,33 @@ def round_kernel_bench():
     return muls / dt
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """The axon tunnel can hang PJRT init indefinitely when the TPU
+    lease is unavailable (observed r5: >9 min with zero progress).
+    Probe device init in a SUBPROCESS with a timeout so a dead tunnel
+    produces an honest bench line instead of a driver rc=124."""
+    import subprocess
+    code = ("import jax, numpy, jax.numpy as jnp;"
+            "assert jax.default_backend() == 'tpu';"
+            "numpy.asarray(jnp.ones((4,), jnp.uint32) + 1)")
+    try:
+        r = subprocess.run(["python", "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        say({"metric": "tpu_unreachable", "value": 0, "unit": "",
+             "vs_baseline": 0,
+             "note": "axon TPU tunnel did not answer a device probe "
+                     "within 300s (PJRT init hang); benchmark cannot "
+                     "run on this host right now -- see r4 numbers "
+                     "(BENCH_r04.json) for the last healthy "
+                     "measurement"})
+        return
     import jax
     from zkcnn_tpu import warm
     from zkcnn_tpu.nn import random_source

@@ -166,3 +166,44 @@ def test_ipa_fs_challenges_bind_messages():
     proof = pcs.open(v0, r, ev, tape.clone())
     proof.Ls[0] = curve.pdouble(proof.Ls[0])     # tamper one round msg
     assert not pcs.verify(com, r, ev, proof, tape.clone())
+
+
+def test_msm_light_matches_fused_tiny():
+    """The compile-light MSM routing (eager bucketed padd tree,
+    msm._compile_light) must produce the same points as the fused
+    _window_sum/_horner_step composites -- same pairing order, so
+    bit-equal results.  Tiny size keeps the fused compile cheap."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from zkcnn_tpu.pcs import curve
+    from zkcnn_tpu.pcs.msm import FixedBaseMSM, points_equal
+    from zkcnn_tpu.field import FR
+
+    rng = np.random.default_rng(13)
+    N = 4
+    pts = [curve.py_mul((curve.G1_X, curve.G1_Y), int(s))
+           for s in rng.integers(1, 1 << 40, N)]
+    points = jnp.asarray(np.stack(
+        [curve.point_pack((x, y, 1)) for (x, y) in pts]))
+    coeffs = [int.from_bytes(rng.bytes(31), "little") for _ in range(N)]
+    sc = jnp.asarray(np.stack([FR.to_mont_host(c) for c in coeffs]))[None]
+
+    old = os.environ.get("ZKCNN_TPU_MSM_LIGHT")
+    try:
+        os.environ["ZKCNN_TPU_MSM_LIGHT"] = "1"
+        out_light = FixedBaseMSM(points).compute(sc)
+        os.environ["ZKCNN_TPU_MSM_LIGHT"] = "0"
+        out_fused = FixedBaseMSM(points).compute(sc)
+    finally:
+        if old is None:
+            del os.environ["ZKCNN_TPU_MSM_LIGHT"]
+        else:
+            os.environ["ZKCNN_TPU_MSM_LIGHT"] = old
+    assert bool(np.asarray(points_equal(out_light[0], out_fused[0])))
+    # and against host ground truth
+    import functools
+    want = functools.reduce(
+        curve.py_add, [curve.py_mul(P, c) for P, c in zip(pts, coeffs)])
+    got = curve.to_affine_host(out_light[:1])[0]
+    assert got == want

@@ -1,15 +1,15 @@
-"""Regenerate the pinned 1-chip transcript digest in __graft_entry__.py.
+"""Regenerate the pinned 1-chip transcript digests in __graft_entry__.py.
 
 Run after any change that legitimately alters the protocol transcript
 (tape draw order, round-message encoding, model/builder changes):
 
     python tools/pin_dryrun_digest.py
 
-Prints the new (digest, proof_size) pair for PINNED_1CHIP; paste it in.
+Prints the new PINNED_1CHIP dict; paste it into __graft_entry__.py.
 The 1-chip == N-chip equality itself stays covered live by
-tests/test_parallel.py::test_sharded_proof_transcript_equality; the pin
-only spares the driver dryrun the second full compile storm (XLA:CPU
-persistent-cache AOT entries never reload in this jaxlib).
+tests/test_parallel.py::test_sharded_proof_transcript_equality; the
+pins only spare the driver dryrun the second full compile storm
+(XLA:CPU persistent-cache AOT entries never reload in this jaxlib).
 """
 
 import os
@@ -33,23 +33,29 @@ from zkcnn_tpu import use_cpu_cache  # noqa: E402
 use_cpu_cache()
 
 from zkcnn_tpu.nn import random_source  # noqa: E402
-from zkcnn_tpu.nn.models import ccnn  # noqa: E402
-from zkcnn_tpu.nn.params import PoolType  # noqa: E402
 from zkcnn_tpu.gkr import Prover, Verifier, Tape  # noqa: E402
 from zkcnn_tpu.pcs import HyraxPCS  # noqa: E402
+from __graft_entry__ import _dryrun_models  # noqa: E402
 
 
 def main():
-    t0 = time.time()
-    nn = ccnn(8, 8, 1, 1, PoolType.MAX)
-    C, vals = nn.create(random_source(24))
-    p = Prover(C, vals)
-    v = Verifier(p, C, Tape(b"dryrun"), pcs=HyraxPCS(mode="sqrt"))
-    ok = v.verify()
-    assert ok, "1-chip ccnn proof failed"
-    print(f"ran in {time.time() - t0:.0f}s")
-    print(f'PINNED_1CHIP = {{"digest": "{v.transcript_digest}", '
-          f'"proof_size": {p.proof_size}}}')
+    print("PINNED_1CHIP = {")
+    kinds = set()
+    for name, build in _dryrun_models():
+        t0 = time.time()
+        nn = build()
+        C, vals = nn.create(random_source(24))
+        kinds |= {l.ty.name for l in C.layers}
+        p = Prover(C, vals)
+        v = Verifier(p, C, Tape(b"dryrun-" + name.encode()),
+                     pcs=HyraxPCS(mode="sqrt"))
+        ok = v.verify()
+        assert ok, f"1-chip {name} proof failed"
+        print(f'    "{name}": {{"digest": "{v.transcript_digest}",'
+              f'\n{" " * 16}"proof_size": {p.proof_size}}},'
+              f'  # {time.time() - t0:.0f}s', flush=True)
+    print("}")
+    print(f"# layer kinds covered: {sorted(kinds)}", flush=True)
 
 
 if __name__ == "__main__":

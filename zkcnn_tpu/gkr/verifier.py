@@ -211,7 +211,9 @@ class Verifier:
             # encoding: Jacobian limb bytes are malleable via Z-scaling
             # (a grinding lever on every later challenge).
             self.pcs.setup(self.C.layers[0].bit_length, self.tape)
+            self.log(f"pcs setup done (t={time.perf_counter():.1f})")
             self.commitment = self.pcs.commit(self.p.val[0])
+            self.log(f"pcs commit done (t={time.perf_counter():.1f})")
             if not self.tape.precomputable:
                 from ..pcs import curve as _curve
                 import hashlib as _hl

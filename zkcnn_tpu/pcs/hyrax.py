@@ -72,13 +72,7 @@ class HyraxPCS:
         self.n_rows = 1 << (bit_length >> 1)
         if tape.precomputable:
             scalars = tape.fields(self.n_cols)
-            plain = jnp.asarray(
-                np.stack([np.array(
-                    [(s >> (16 * i)) & 0xFFFF for i in range(FR.n)],
-                    np.uint32) for s in scalars]))
-            base = jnp.broadcast_to(curve.base_point(),
-                                    (self.n_cols, 3, curve.FP.n))
-            self.gens = curve.scalar_mul(base, plain)
+            self.gens = self._tape_gens(scalars)
         else:
             pts = [curve.hash_to_group_host(b"zkcnn-hyrax-gen", i)
                    for i in range(self.n_cols)]
@@ -121,15 +115,41 @@ class HyraxPCS:
         self.ps += len(proof.Ls) * 2 * G_BYTE_SIZE + F_BYTE_SIZE
         return proof
 
+    @staticmethod
+    def _tape_gens(scalars):
+        """s_i*G for tape-drawn scalars.  On TPU: the batched device
+        ladder (255-step fori).  Off-TPU: host py_mul -- identical
+        POINTS with Z=1 coordinates (affine-canonical encodings and
+        points_equal are representation-invariant, so transcripts
+        don't change), and zero XLA:CPU compile cost -- the device
+        ladder's loop body was a minutes-long single-core compile in
+        the driver dryrun."""
+        import jax
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            plain = jnp.asarray(
+                np.stack([np.array(
+                    [(s >> (16 * i)) & 0xFFFF for i in range(FR.n)],
+                    np.uint32) for s in scalars]))
+            base = jnp.broadcast_to(curve.base_point(),
+                                    (len(scalars), 3, curve.FP.n))
+            return curve.scalar_mul(base, plain)
+        G = (curve.G1_X, curve.G1_Y)
+        rows = []
+        for s in scalars:
+            P = curve.py_mul(G, s)
+            rows.append(curve.point_pack((P[0], P[1], 1)) if P
+                        else np.zeros((3, curve.FP.n), np.uint32))
+        return jnp.asarray(np.stack(rows))
+
     def _aux_gen(self, tape):
         """The IPA's auxiliary generator Q: tape-drawn (interactive) or
         hash-to-curve (Fiat-Shamir), same rationale as setup()."""
         if tape.precomputable:
-            q_scalar = tape.field()
-            plain = jnp.asarray(np.array(
-                [[(q_scalar >> (16 * i)) & 0xFFFF for i in range(FR.n)]],
-                np.uint32))
-            return curve.scalar_mul(curve.base_point()[None], plain)[0]
+            return self._tape_gens([tape.field()])[0]
         x, y = curve.hash_to_group_host(b"zkcnn-hyrax-gen-Q", 0)
         return jnp.asarray(curve.point_pack((x, y, 1)))
 

@@ -25,6 +25,8 @@ row-combination MSM, and the final opening check (SURVEY.md section 3E;
 reference call sites verifier.cpp:119-128,359-373).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +36,53 @@ from ..field.limbs import FR, FP, add_base16, resolve, mul_wide, mul_low, \
 from ..field.params import FR_P, to_limbs
 from . import curve
 from ..warm import zjit
+
+
+def _compile_light() -> bool:
+    """Compile-light MSM routing: off-TPU, the fused _window_sum /
+    _horner_step composites (20k-op unrolled point-add trees) take
+    minutes EACH to compile on a single XLA:CPU core, and this
+    jaxlib's persistent CPU cache never reloads its own AOT entries
+    (see zkcnn_tpu.use_cpu_cache) -- the r4 driver-dryrun timeout.
+    The light path runs the same point-add sequence eagerly through a
+    few BUCKETED padd/pdouble programs (identical math, identical
+    results).  ZKCNN_TPU_MSM_LIGHT=1/0 overrides."""
+    env = os.environ.get("ZKCNN_TPU_MSM_LIGHT")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+# flat point-count buckets for the light path: every eager padd/
+# pdouble call pads to the smallest sufficient bucket so the whole
+# MSM shares a handful of compiled programs
+_PADD_BUCKETS = (1 << 9, 1 << 13)
+
+
+def _bucketed(op, *args):
+    """op on flat [K, 3, n] operands, padded to a shared bucket (pads
+    are infinity: padd(inf, inf) = inf, pdouble(inf) = inf).  Under an
+    active mesh the operands are replicated first: jit keys include
+    arg shardings, and the gather/reshape-derived shardings otherwise
+    mint a fresh multi-minute XLA:CPU compile per variant (these
+    tensors are tiny -- the light path never runs at TPU scale)."""
+    from ..parallel.context import active_mesh, replicate
+    K = args[0].shape[0]
+    big = _PADD_BUCKETS[-1]
+    if K > big:
+        return jnp.concatenate(
+            [_bucketed(op, *[a[s: s + big] for a in args])
+             for s in range(0, K, big)])
+    B = next(b for b in _PADD_BUCKETS if b >= K)
+    if K < B:
+        pad = curve.infinity((B - K,))
+        args = [jnp.concatenate([a, pad]) for a in args]
+    if active_mesh() is not None:
+        args = [replicate(a) for a in args]
+    return op(*args)[:K]
 
 MAX_DIGIT = 128          # signed radix-256 digit magnitudes
 HALF_WINDOWS = 17        # 16 byte windows per 128-bit GLV half + carry
@@ -56,11 +105,20 @@ def build_table(points, max_digit: int = MAX_DIGIT):
     of the table size (7 dispatches for 128 digits)."""
     rows = jnp.concatenate([curve.infinity((1, points.shape[0])),
                             points[None]])
+    light = _compile_light()
+    N = points.shape[0]
     while rows.shape[0] - 1 < max_digit:
         m = rows.shape[0] - 1
         take = min(m, max_digit - m)
-        new = curve.padd(jnp.broadcast_to(rows[m], rows.shape[1:])[None],
-                         rows[1: 1 + take])
+        if light:
+            a = jnp.broadcast_to(rows[m], (take, N, 3, FP.n)) \
+                .reshape(-1, 3, FP.n)
+            b = rows[1: 1 + take].reshape(-1, 3, FP.n)
+            new = _bucketed(curve.padd, a, b).reshape(take, N, 3, FP.n)
+        else:
+            new = curve.padd(
+                jnp.broadcast_to(rows[m], rows.shape[1:])[None],
+                rows[1: 1 + take])
         rows = jnp.concatenate([rows, new])
     return rows
 
@@ -111,9 +169,9 @@ def glv_split(plain):
 
 
 @zjit
-def _window_sum(table, digits):
+def _window_gather(table, digits):
     """digits [R, 2N] signed (first N for P, last N for phi(P)) ->
-    sum_i digits[r,i] * base_i as [R, 3, n]."""
+    the gathered, GLV/sign-adjusted window points [R, 2N, 3, n]."""
     N = table.shape[1]
     two_n = digits.shape[1]
     mag = jnp.abs(digits)
@@ -124,8 +182,15 @@ def _window_sum(table, digits):
     is_phi = (jnp.arange(two_n) >= N)[None, :, None]
     X = jnp.where(is_phi, FP.mul(X, jnp.broadcast_to(beta, X.shape)), X)
     Y = jnp.where((digits < 0)[..., None], FP.neg(Y), Y)
-    pts = jnp.stack([X, Y, Z], axis=-2)
-    n = two_n
+    return jnp.stack([X, Y, Z], axis=-2)
+
+
+@zjit
+def _window_sum(table, digits):
+    """_window_gather + halving padd tree, fused (TPU path; nested
+    jit inlines the gather)."""
+    pts = _window_gather(table, digits)
+    n = pts.shape[1]
     while n > 1:
         if n % 2:
             pts = jnp.concatenate(
@@ -136,11 +201,35 @@ def _window_sum(table, digits):
     return pts[:, 0]
 
 
+def _window_sum_light(table, digits):
+    """Same reduction as _window_sum, but the tree levels run as EAGER
+    bucketed padd calls (identical pairing order -> identical points;
+    see _compile_light)."""
+    pts = _window_gather(table, digits)
+    R = pts.shape[0]
+    m = pts.shape[1]
+    while m > 1:
+        if m % 2:
+            pts = jnp.concatenate([pts, curve.infinity((R, 1))], axis=1)
+            m += 1
+        a = pts[:, 0::2].reshape(R * (m // 2), 3, FP.n)
+        b = pts[:, 1::2].reshape(R * (m // 2), 3, FP.n)
+        pts = _bucketed(curve.padd, a, b).reshape(R, m // 2, 3, FP.n)
+        m >>= 1
+    return pts[:, 0]
+
+
 @zjit
 def _horner_step(acc, w):
     for _ in range(8):
         acc = curve.pdouble(acc)
     return curve.padd(acc, w)
+
+
+def _horner_step_light(acc, w):
+    for _ in range(8):
+        acc = _bucketed(curve.pdouble, acc)
+    return _bucketed(curve.padd, acc, w)
 
 
 @zjit
@@ -166,19 +255,48 @@ class FixedBaseMSM:
 
     def __init__(self, points):
         self.n_points = int(points.shape[0])
-        self.table = build_table(points)
+        # host mode (ZKCNN_TPU_MSM_HOST=1): compute MSMs in pure
+        # Python ints -- identical points, zero XLA programs.  The
+        # driver dryrun uses it: on its single-core virtual-CPU mesh
+        # every per-shape curve program costs ~a minute of XLA:CPU
+        # compile, which dwarfed the actual point arithmetic (the r4
+        # MULTICHIP timeout).  Device MSM coverage stays with the test
+        # suite (light path) and the TPU (fused path).
+        self.host_mode = os.environ.get("ZKCNN_TPU_MSM_HOST") == "1"
+        if self.host_mode:
+            self._points_affine = curve.to_affine_host(points)
+        else:
+            self.table = build_table(points)
 
     def compute(self, scalars_mont):
         """scalars_mont [R, N, n_limbs] (Montgomery) -> [R, 3, n] points.
         Rows are processed in chunks bounding the window-gather
         footprint; chunk results concatenate exactly (rows are
         independent MSMs)."""
+        if self.host_mode:
+            return self._compute_host(scalars_mont)
         R = scalars_mont.shape[0]
         per_row = 2 * self.n_points * 3 * curve.FP.n
         chunk = max(1, min(R, self.MAX_GATHER_WORDS // per_row))
         outs = [self._compute_rows(scalars_mont[s: s + chunk])
                 for s in range(0, R, chunk)]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _compute_host(self, scalars_mont):
+        """Pure-host MSM (see __init__): per row, sum k_i * P_i with
+        py_mul/py_add on Python ints."""
+        sc = np.asarray(scalars_mont)
+        rows = []
+        for r in range(sc.shape[0]):
+            ints = FR.unpack_mont_host(sc[r])
+            acc = None
+            for P, k in zip(self._points_affine, ints):
+                if P is None or k == 0:
+                    continue
+                acc = curve.py_add(acc, curve.py_mul(P, k))
+            rows.append(curve.point_pack((acc[0], acc[1], 1)) if acc
+                        else np.zeros((3, curve.FP.n), np.uint32))
+        return jnp.asarray(np.stack(rows))
 
     def _compute_rows(self, scalars_mont):
         R = scalars_mont.shape[0]
@@ -189,10 +307,13 @@ class FixedBaseMSM:
             digs = jnp.concatenate(
                 [_digits_of(scalars_mont[s: s + drows])
                  for s in range(0, R, drows)])
+        light = _compile_light()
+        wsum = _window_sum_light if light else _window_sum
+        horner = _horner_step_light if light else _horner_step
         acc = None
         for k in range(HALF_WINDOWS - 1, -1, -1):
-            w = _window_sum(self.table, digs[:, :, k])
-            acc = w if acc is None else _horner_step(acc, w)
+            w = wsum(self.table, digs[:, :, k])
+            acc = w if acc is None else horner(acc, w)
         return acc
 
 
