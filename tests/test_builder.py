@@ -106,6 +106,7 @@ def test_ccnn_avg_witness():
     assert (got == want.ravel()).all()
 
 
+@pytest.mark.heavy
 def test_single_conv_fft_vs_naive():
     """FFT conv pipeline and naive conv agree at valid output positions
     (reference calcRawFFT/getFFTAns parity, src/models.cpp:288-348)."""

@@ -127,6 +127,7 @@ def test_eval_normal_layer_chunked_matches(monkeypatch):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_ladder_row_chunking_matches(monkeypatch):
     """Row-chunked big-ladder steps (vgg HBM path) must emit identical
     dot stacks and folded operands to the one-shot ladder program."""
@@ -160,6 +161,7 @@ def test_ladder_row_chunking_matches(monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_V), np.asarray(got_V))
 
 
+@pytest.mark.heavy
 def test_liu_streaming_matches_oneshot(monkeypatch):
     """The vgg-scale Liu-init streaming accumulate (donated 8-bit plane
     accumulators + one blockwise finish) must produce a transcript

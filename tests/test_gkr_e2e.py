@@ -39,18 +39,21 @@ def test_single_conv_naive_mul_add_e2e():
     assert v.verify()
 
 
+@pytest.mark.heavy
 def test_single_conv_fft_e2e():
     nn = singleConv(6, 1, 1, 3, 2, ConvType.FFT)
     p, v = run_model(nn, 23)
     assert v.verify()
 
 
+@pytest.mark.heavy
 def test_ccnn_max_e2e():
     nn = ccnn(8, 8, 1, 1, PoolType.MAX)
     p, v = run_model(nn, 24)
     assert v.verify()
 
 
+@pytest.mark.heavy
 def test_ccnn_avg_e2e():
     nn = ccnn(8, 8, 1, 1, PoolType.AVG)
     p, v = run_model(nn, 25)
@@ -93,6 +96,7 @@ def test_ccnn_batched_pics_e2e():
     assert v.verify()
 
 
+@pytest.mark.heavy
 def test_fused_matches_per_round(monkeypatch):
     """The fused whole-phase runner (gkr/fused.py) must produce the
     exact same transcript (proof size, input eval) as the per-round

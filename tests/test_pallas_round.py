@@ -45,6 +45,7 @@ def test_supported_bounds():
     assert not supported(1 << 26)
 
 
+@pytest.mark.heavy
 def test_cubic_round_step_matches_xla():
     from zkcnn_tpu.field.pallas_round import cubic_round_step, \
         cubic_supported

@@ -5,6 +5,7 @@ Interpreter mode on CPU; the kernel output representation is redundant
 limbs, which must match the XLA fold bit-for-bit.
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_supported2():
     assert not supported2(1 << 26)
 
 
+@pytest.mark.heavy
 def test_fused_quad_pallas_v2_integration(monkeypatch):
     """The whole-phase runner with v2 RED-form rounds (+ XLA tail and
     boundary conversions) must emit the same polys and finals as the

@@ -1,6 +1,7 @@
 """Sharded kernels must agree exactly with the replicated ones
 (1-chip == N-chip transcripts; SURVEY.md section 7 step 7)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -73,6 +74,7 @@ def test_sharded_segment_sum():
     assert got == want
 
 
+@pytest.mark.heavy
 def test_sharded_proof_transcript_equality():
     """SURVEY.md section 7 step 7: a COMPLETE proof run sharded over
     the virtual device mesh must produce a bit-identical transcript
@@ -100,6 +102,7 @@ def test_sharded_proof_transcript_equality():
     assert base == sharded
 
 
+@pytest.mark.heavy
 def test_sharded_pallas_ladder_matches_unsharded(monkeypatch):
     """The shard_map Pallas ladder (mesh perf path) must produce
     bit-identical dots and folded operands to the unsharded XLA ladder
@@ -134,6 +137,7 @@ def test_sharded_pallas_ladder_matches_unsharded(monkeypatch):
     np.testing.assert_array_equal(np.asarray(V_ref), np.asarray(V_sh))
 
 
+@pytest.mark.heavy
 def test_stage_sharded_ntt_bit_identical():
     """NTT sharded WITHIN one transform (local butterfly stages +
     all_to_all transpose + cross stages; parallel/sharding.py
@@ -173,3 +177,54 @@ def test_witness_ntt_routes_stage_sharded():
     with use_mesh(make_mesh(8)):
         got = _witness_ntt(x, 6, False)   # batch 4 < 2*8 -> stage path
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+@pytest.mark.heavy
+def test_sharded_msm_window_partitioned():
+    """Window-partitioned MSM across the mesh (sharded_msm): each
+    device computes its windows' gather+tree sums, folds the radix
+    weights locally, and the partials combine with an all_gather +
+    padd tree.  Checked as a group element against direct Python-int
+    evaluation of the same digit vector (Jacobian representation is
+    not transcript-relevant; SURVEY section 2 parallelism inventory)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zkcnn_tpu.field import FR
+    from zkcnn_tpu.pcs import curve
+    from zkcnn_tpu.pcs.msm import (FixedBaseMSM, _digits_of,
+                                   GLV_BETA)
+    from zkcnn_tpu.field.params import FP_P
+    from zkcnn_tpu.parallel.sharding import make_mesh, sharded_msm
+
+    rng = np.random.default_rng(21)
+    N = 2
+    aff = [curve.py_mul((curve.G1_X, curve.G1_Y), int(s))
+           for s in rng.integers(1, 1 << 40, N)]
+    points = jnp.asarray(np.stack(
+        [curve.point_pack((x, y, 1)) for (x, y) in aff]))
+    msm = FixedBaseMSM(points)           # builds the digit table
+    coeffs = [int.from_bytes(rng.bytes(31), "little")
+              for _ in range(N)]
+    sc = jnp.asarray(np.stack([FR.to_mont_host(c)
+                               for c in coeffs]))[None]
+    digs = np.asarray(_digits_of(sc))    # [1, 2N, 17]
+
+    nwin = 2                             # keep the compiled graph small
+    mesh = make_mesh(8)
+    out = sharded_msm(mesh, nwin=nwin)(msm.table,
+                                       jnp.asarray(digs[:, :, :nwin]))
+
+    # expected: sum_i (sum_k d_{i,k} 256^k) * B_i over Python ints,
+    # with B_{N+i} = phi(B_i) = (beta*x, y)
+    bases = aff + [((GLV_BETA * x) % FP_P, y) for (x, y) in aff]
+    exp = None
+    for i, B in enumerate(bases):
+        v = sum(int(digs[0, i, k]) << (8 * k) for k in range(nwin))
+        if v == 0:
+            continue
+        t = curve.py_mul(B, abs(v))
+        if v < 0:
+            t = (t[0], (-t[1]) % FP_P)
+        exp = curve.py_add(exp, t)
+    got = curve.to_affine_host(out[:1])[0]
+    assert got == exp

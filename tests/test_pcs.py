@@ -70,6 +70,7 @@ def test_fixed_base_msm():
     assert got == curve.py_mul(G_AFF, want_k)
 
 
+@pytest.mark.heavy
 def test_hyrax_commit_open():
     rng = np.random.default_rng(5)
     logn = 6
@@ -88,6 +89,7 @@ def test_hyrax_commit_open():
     assert not pcs.open_and_verify(com, v0, r, (ev + 1) % FR_P, tape)
 
 
+@pytest.mark.heavy
 def test_hyrax_ipa_open():
     rng = np.random.default_rng(9)
     logn = 6
@@ -115,6 +117,7 @@ def test_hyrax_ipa_open():
     assert not pcs2.open_and_verify(com2, v0, r, (ev + 1) % FR_P, tape2)
 
 
+@pytest.mark.heavy
 def test_hyrax_fs_mode_gens_and_split():
     """Fiat-Shamir mode: generators come from hash-to-curve (discrete
     logs unknown -- tape-derived s_i*G would hand the prover every
@@ -168,6 +171,7 @@ def test_ipa_fs_challenges_bind_messages():
     assert not pcs.verify(com, r, ev, proof, tape.clone())
 
 
+@pytest.mark.heavy
 def test_msm_light_matches_fused_tiny():
     """The compile-light MSM routing (eager bucketed padd tree,
     msm._compile_light) must produce the same points as the fused

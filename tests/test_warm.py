@@ -17,6 +17,7 @@ from zkcnn_tpu import warm
 from zkcnn_tpu.field import FR
 
 
+@pytest.mark.heavy
 def test_record_save_replay(tmp_path):
     from zkcnn_tpu.mle import beta_table
 

@@ -65,6 +65,16 @@ def main():
     ap.add_argument("--save-warm", action="store_true",
                     help="replace the model's warm manifest + blobs "
                     "from this run's recording")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (local cache, no "
+                    "remote compile)")
+    ap.add_argument("--snapshot", metavar="PATH",
+                    help="witness/circuit checkpoint: load (C, vals) "
+                    "from PATH if it exists, else build and save "
+                    "there first.  A failed multi-hour vgg attempt "
+                    "then restarts from the proof, not the build "
+                    "(r4 spent 18 rebuilds; SURVEY section 5 "
+                    "checkpoint/resume row)")
     args = ap.parse_args()
 
     faulthandler.enable()
@@ -73,6 +83,10 @@ def main():
         faulthandler.register(sig, file=sys.stderr, chain=True)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        from zkcnn_tpu import use_cpu_cache
+        use_cpu_cache()
     from zkcnn_tpu import warm
     from zkcnn_tpu.nn import random_source
     from zkcnn_tpu.nn import models as zoo
@@ -102,14 +116,44 @@ def main():
             "ccnn": lambda: zoo.ccnn(8, 8, args.pic_cnt, 1, pool),
             "vgg11": lambda: zoo.vgg11(32, 32, 3, args.pic_cnt, pool),
             "vgg16": lambda: zoo.vgg16(32, 32, 3, args.pic_cnt, pool)}
-    nn = ctor[args.model]()
-    C, vals = nn.create(random_source(args.seed))
+    nn = None
+    if args.snapshot and os.path.exists(args.snapshot):
+        import pickle
+        with open(args.snapshot, "rb") as f:
+            snap = pickle.load(f)
+        C, vals = snap["C"], snap["vals"]
+        log(f"snapshot loaded from {args.snapshot} "
+            f"({time.time() - t0:.1f}s)")
+    else:
+        nn = ctor[args.model]()
+        C, vals = nn.create(random_source(args.seed))
+        if args.snapshot:
+            import pickle
+            import numpy as _np
+            t1 = time.time()
+            # strip per-layer device/host caches (unpicklable or
+            # machine-local); vals to host numpy (device arrays
+            # re-upload lazily on first use)
+            for ly in C.layers:
+                for attr in ("_dev_cache", "_ori_cache", "_host_cache"):
+                    if hasattr(ly, attr):
+                        delattr(ly, attr)
+            host_vals = [None if v is None else _np.asarray(v)
+                         for v in vals]
+            tmp = args.snapshot + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump({"C": C, "vals": host_vals}, f, protocol=4)
+            os.replace(tmp, args.snapshot)
+            vals = host_vals
+            log(f"snapshot saved to {args.snapshot} "
+                f"({time.time() - t1:.1f}s)")
     log(f"witness build {time.time() - t0:.1f}s: "
         f"{C.size} layers, input size {C.layers[0].size} "
         f"(2^{C.layers[0].bit_length})")
 
     p = Prover(C, vals, own_vals=True)   # single proof: free layer
-    nn.vals = None                       # values as the walk passes
+    if nn is not None:                   # values as the walk passes
+        nn.vals = None
     t0 = time.time()
     p.prefetch()
     log(f"gate prefetch {time.time() - t0:.1f}s")

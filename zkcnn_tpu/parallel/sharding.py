@@ -177,6 +177,62 @@ def sharded_segment_sum(mesh: Mesh, num_segments: int, axis: str = "hyper"):
     return jax.jit(f)
 
 
+def sharded_msm(mesh: Mesh, axis: str = "hyper", nwin: int = None):
+    """Window-partitioned fixed-base MSM across the mesh (SURVEY
+    section 2 parallelism inventory: window/bucket-partitioned
+    Pippenger with collective reduction).
+
+    Device d computes the signed-digit windows k with k % D == d --
+    each window is the gather + halving padd tree of
+    pcs.msm._window_sum -- folds its own windows' radix weights
+    locally (2^(8*delta) doubling gaps between its consecutive
+    windows), and the per-device partial points reduce across chips
+    with an all_gather + log-depth padd tree.  The result equals the
+    serial Horner evaluation as a GROUP ELEMENT (Jacobian coordinates
+    differ; every in-protocol consumer is representation-invariant:
+    canonical affine encodings and points_equal).
+
+    Returns f(table [129, N, 3, n], digits [R, 2N, nwin]) -> [R, 3, n].
+    nwin defaults to the full 17 GLV half-windows; tests use fewer to
+    keep the compiled graph small.
+    """
+    from ..pcs.msm import _window_sum, HALF_WINDOWS
+    from ..pcs import curve
+    D = mesh.devices.size
+    if nwin is None:
+        nwin = HALF_WINDOWS
+
+    def body(table, digs):
+        d = jax.lax.axis_index(axis)
+        R = digs.shape[0]
+        acc = curve.infinity((R,))
+        started = jnp.zeros((), jnp.bool_)
+        # walk ALL windows high->low so the doubling chain is uniform
+        # across devices (static trip count; off-device windows are
+        # skipped via a select)
+        for k in range(nwin - 1, -1, -1):
+            if k != nwin - 1:
+                for _ in range(8):
+                    acc = curve.pdouble(acc)
+            mine = (k % D) == d
+            w = _window_sum(table, digs[:, :, k])
+            cand = jnp.where(started, curve.padd(acc, w), w)
+            acc = jnp.where(mine, cand, acc)
+            started = started | mine
+        parts = jax.lax.all_gather(acc, axis)        # [D, R, 3, n]
+        n = D
+        while n > 1:
+            parts = curve.padd(parts[0::2], parts[1::2])
+            n >>= 1
+        return parts[0]
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(None, None, None, None),
+                            P(None, None, None)),
+                  out_specs=P(None, None, None), check_vma=False)
+    return jax.jit(f)
+
+
 def sharded_dot(mesh: Mesh, axis: str = "hyper"):
     """Cross-chip exact inner product of Montgomery vectors."""
 
