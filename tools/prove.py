@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (local cache, no "
                     "remote compile)")
+    ap.add_argument("--build-only", action="store_true",
+                    help="stop after the witness build (use with "
+                    "--snapshot to pre-build a checkpoint)")
     ap.add_argument("--snapshot", metavar="PATH",
                     help="witness/circuit checkpoint: load (C, vals) "
                     "from PATH if it exists, else build and save "
@@ -150,6 +153,9 @@ def main():
     log(f"witness build {time.time() - t0:.1f}s: "
         f"{C.size} layers, input size {C.layers[0].size} "
         f"(2^{C.layers[0].bit_length})")
+    if args.build_only:
+        log("build-only: stopping before the proof")
+        return
 
     p = Prover(C, vals, own_vals=True)   # single proof: free layer
     if nn is not None:                   # values as the walk passes
